@@ -1,0 +1,183 @@
+"""Bloom filter — mergeable membership sketch.
+
+Semantics preserved from the reference (src/bloom/filter.jl):
+
+* state: m-bit zeroed bitset + k probe count (filter.jl:1-11); we pack the
+  bits into uint64 words;
+* update: k probes derived from one initial 64-bit item hash via a salted
+  rehash chain (filter.jl:38-56); set bit hash mod m;
+* membership: all k bits set => maybe-present; false positives possible,
+  never false negatives (filter.jl:64-74);
+* merge = bitwise OR, same m required (filter.jl:125-133) — commutative,
+  associative, idempotent => treeReduce-safe;
+* cardinality estimate ``(m/k)*|ln(1-loadfactor)|`` (filter.jl:93-95),
+  loadfactor = fraction of set bits (filter.jl:76-79);
+* FPR = (1 - exp(-k*N/m))^k (docs/src/bloom.md:19);
+* ``constrain`` planner: given two of {fpr, memory, capacity} solve the
+  third with optimal (m, k) (filter.jl:135-209) — reimplemented from the
+  standard closed forms (k = m/n * ln2; m = -n ln(fpr)/ln(2)^2).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import codec
+from .hashing import SALT_BLOOM, mix64, mix64_scalar, popcount64, xxhash64_any
+
+_U = np.uint64
+_HDR = struct.Struct("<QI")
+
+
+class BloomFilter:
+    __slots__ = ("m", "k", "words")
+
+    def __init__(self, m: int, k: int, words: np.ndarray | None = None):
+        if m < 1 or k < 1:  # reference constraint: filter.jl:3-8
+            raise ValueError("m and k must be >= 1")
+        self.m = int(m)
+        self.k = int(k)
+        nwords = (self.m + 63) // 64
+        if words is None:
+            words = np.zeros(nwords, dtype=np.uint64)
+        elif words.shape != (nwords,) or words.dtype != np.uint64:
+            raise ValueError("words shape/dtype mismatch")
+        self.words = words
+
+    # ------------------------------------------------------------- update
+    def update_hashes(self, h: np.ndarray) -> None:
+        """Set k bits per uint64 item hash, vectorized across the batch."""
+        if h.size == 0:
+            return
+        h = h.astype(np.uint64, copy=False)
+        m = _U(self.m)
+        for t in range(self.k):
+            idx = mix64(h, SALT_BLOOM + t) % m
+            word = (idx >> _U(6)).astype(np.int64)
+            bit = _U(1) << (idx & _U(63))
+            np.bitwise_or.at(self.words, word, bit)
+
+    # -------------------------------------------------------------- query
+    def _bit_positions(self, key) -> list[int]:
+        h0 = xxhash64_any(key)
+        return [mix64_scalar(h0, SALT_BLOOM + t) % self.m for t in range(self.k)]
+
+    def contains(self, key) -> bool:
+        return all(
+            (int(self.words[i >> 6]) >> (i & 63)) & 1 for i in self._bit_positions(key)
+        )
+
+    def contains_hashes(self, h: np.ndarray) -> np.ndarray:
+        """Vectorized membership for a batch of uint64 item hashes."""
+        h = h.astype(np.uint64, copy=False)
+        m = _U(self.m)
+        out = np.ones(h.size, dtype=bool)
+        for t in range(self.k):
+            idx = mix64(h, SALT_BLOOM + t) % m
+            word = (idx >> _U(6)).astype(np.int64)
+            bit = _U(1) << (idx & _U(63))
+            out &= (self.words[word] & bit) != 0
+        return out
+
+    # -------------------------------------------------------------- merge
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        """Bitwise OR; same (m, k) required. (The reference's union! checks
+        only m, filter.jl:125-133, while == also checks k — we require both,
+        the strictly safer contract.)"""
+        if (self.m, self.k) != (other.m, other.k):
+            raise ValueError("Bloom parameter mismatch in merge")
+        np.bitwise_or(self.words, other.words, out=self.words)
+        return self
+
+    # ------------------------------------------------------------ metrics
+    def count_set_bits(self) -> int:
+        return int(popcount64(self.words).astype(np.int64).sum())
+
+    def loadfactor(self) -> float:
+        return self.count_set_bits() / self.m  # filter.jl:76-79
+
+    def cardinality(self) -> float:
+        """(m/k)|ln(1-lf)|; inf when the filter is full (filter.jl:93-95)."""
+        lf = self.loadfactor()
+        if lf >= 1.0:
+            return math.inf
+        return (self.m / self.k) * abs(math.log(1.0 - lf))
+
+    @staticmethod
+    def expected_fpr(m: int, k: int, n: int) -> float:
+        return (1.0 - math.exp(-k * n / m)) ** k  # docs/src/bloom.md:19
+
+    def is_empty(self) -> bool:
+        return not self.words.any()
+
+    def clear(self) -> None:
+        self.words.fill(0)
+
+    def copy(self) -> "BloomFilter":
+        return BloomFilter(self.m, self.k, self.words.copy())
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, BloomFilter)
+            and self.m == other.m
+            and self.k == other.k
+            and bool(np.array_equal(self.words, other.words))
+        )
+
+    def __hash__(self):
+        return hash((self.m, self.k, self.words.tobytes()))
+
+    def sizeof(self) -> int:
+        return self.words.nbytes
+
+    # ---------------------------------------------------------------- io
+    def to_bytes(self) -> bytes:
+        return codec.wrap(codec.KIND_BLOOM, _HDR.pack(self.m, self.k), self.words.tobytes())
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "BloomFilter":
+        header, payload = codec.unwrap(data, codec.KIND_BLOOM)
+        m, k = _HDR.unpack(header)
+        words = np.frombuffer(payload, dtype=np.uint64).copy()
+        return cls(m, k, words)
+
+
+@dataclass
+class BloomPlan:
+    m: int  # bits
+    k: int
+    fpr: float
+    memory_bytes: int
+    capacity: int
+
+
+def constrain_bloom(
+    fpr: float | None = None,
+    memory: int | None = None,
+    capacity: int | None = None,
+) -> BloomPlan:
+    """Sizing planner: give exactly two of {fpr, memory(bytes), capacity};
+    the third is solved (reference constrain(BloomFilter; ...),
+    filter.jl:135-209). Uses the standard closed forms
+    m = -n*ln(p)/ln(2)^2 and k = round(ln(2)*m/n), then reports the
+    achieved fpr (1-exp(-kn/m))^k."""
+    given = [fpr is not None, memory is not None, capacity is not None]
+    if sum(given) != 2:
+        raise ValueError("exactly two of fpr/memory/capacity must be given")
+    ln2 = math.log(2.0)
+    if fpr is not None and capacity is not None:
+        m = int(math.ceil(-capacity * math.log(fpr) / (ln2 * ln2)))
+    elif fpr is not None and memory is not None:
+        m = memory * 8
+        capacity = int(math.floor(-m * ln2 * ln2 / math.log(fpr)))
+    else:  # memory + capacity
+        m = memory * 8
+    m = max(64, m)
+    n = max(1, capacity)
+    k = max(1, int(round(ln2 * m / n)))
+    achieved = BloomFilter.expected_fpr(m, k, n)
+    return BloomPlan(m=m, k=k, fpr=achieved, memory_bytes=(m + 7) // 8, capacity=n)
