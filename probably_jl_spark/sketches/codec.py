@@ -31,6 +31,8 @@ def wrap(kind: int, header: bytes, payload: bytes, version: int = 1) -> bytes:
 
 
 def unwrap(data: bytes, expected_kind: int) -> tuple[bytes, bytes]:
+    if len(data) < _PREFIX.size:
+        raise ValueError(f"sketch blob too short ({len(data)} bytes)")
     magic, kind, version, hlen = _PREFIX.unpack_from(data, 0)
     if magic != MAGIC:
         raise ValueError(f"bad magic {magic!r}")

@@ -1,0 +1,183 @@
+"""Cuckoo laws mirroring reference test/cuckoo_filter.jl."""
+
+import numpy as np
+import pytest
+
+from probably_jl_spark.sketches.cuckoo import CuckooFilter, constrain_cuckoo
+from probably_jl_spark.sketches.hashing import xxhash64_any
+
+
+def _hashes(keys):
+    return np.array([xxhash64_any(k) for k in keys], dtype=np.uint64)
+
+
+def test_constructor_constraints():
+    # reference test/cuckoo_filter.jl:1-21: pow-2 length >= 4
+    for bad in (3, 5, 6, 100):
+        with pytest.raises(ValueError):
+            CuckooFilter(bad)
+    with pytest.raises(ValueError):
+        CuckooFilter(64, f=3)
+    with pytest.raises(ValueError):
+        CuckooFilter(64, f=17)
+    assert CuckooFilter(64, f=12).nbuckets == 16
+
+
+def test_membership_after_push():
+    # reference test/cuckoo_filter.jl:30-58
+    f = CuckooFilter(1 << 10, f=12)
+    keys = [f"k{i}" for i in range(200)]
+    assert f.update_hashes(_hashes(keys))
+    for k in keys:
+        assert f.contains(k)
+    vec = f.contains_hashes(_hashes(keys))
+    assert vec.all()
+
+
+def test_contains_hashes_matches_scalar_on_absent():
+    f = CuckooFilter(1 << 10, f=10)
+    f.update_hashes(_hashes([f"k{i}" for i in range(100)]))
+    probe = [f"z{i}" for i in range(300)]
+    vec = f.contains_hashes(_hashes(probe))
+    for k, v in zip(probe, vec.tolist()):
+        assert f.contains(k) == v
+
+
+def test_overfilled_push_returns_false_and_closes():
+    # reference test/cuckoo_filter.jl:49-57
+    f = CuckooFilter(16, f=8)  # 4 buckets, 16 slots
+    ok = True
+    for i in range(200):
+        ok &= f.push(f"k{i}")
+    assert not ok
+    assert f.ejected != 0
+    # closed filter rejects further inserts but keeps no-false-negatives
+    assert f.push("brand-new-key") is False
+
+
+def test_no_false_negatives_until_closed():
+    f = CuckooFilter(1 << 8, f=12)
+    inserted = []
+    for i in range(1000):
+        if f.push(f"k{i}"):
+            inserted.append(f"k{i}")
+        else:
+            break
+    for k in inserted:
+        assert f.contains(k)
+
+
+def test_index_involution():
+    # reference test/cuckoo_filter.jl:137-146
+    f = CuckooFilter(1 << 12, f=12)
+    rs = np.random.default_rng(5)
+    h = rs.integers(0, 2**64, size=100, dtype=np.uint64)
+    fp = f.fingerprints(h)
+    i1 = f.primary_index(h)
+    i2 = f.other_index(i1, fp)
+    back = f.other_index(i2, fp)
+    assert np.array_equal(back, i1)
+    assert (fp != 0).all()  # fingerprint never zero (test/cuckoo_bucket.jl:95-101)
+
+
+def test_pop_removes():
+    # reference test/cuckoo_filter.jl:161-190 (fingerprint-deduped inputs)
+    f = CuckooFilter(1 << 10, f=14)
+    keys = [f"k{i}" for i in range(50)]
+    # dedupe by (fp, i1) to dodge collisions, as the reference test does
+    seen, uniq = set(), []
+    for k in keys:
+        h = xxhash64_any(k)
+        sig = (f.fingerprint_scalar(h), h & f.mask)
+        if sig not in seen:
+            seen.add(sig)
+            uniq.append(k)
+    f.update_hashes(_hashes(uniq))
+    for k in uniq:
+        assert f.contains(k)
+        assert f.pop(k)
+        assert not f.contains(k)
+    assert f.is_empty()
+
+
+def test_pop_reopens_closed_filter():
+    f = CuckooFilter(16, f=8)
+    pushed = []
+    i = 0
+    while True:
+        k = f"k{i}"
+        if not f.push(k):
+            break
+        pushed.append(k)
+        i += 1
+    assert f.ejected != 0
+    victim = pushed[0]
+    f.pop(victim)
+    assert f.ejected == 0  # ejected slot re-inserted => reopened
+
+
+def test_union_membership_superset():
+    # reference test/cuckoo_filter.jl:192-210: membership postcondition,
+    # not byte equality (kick order differs)
+    a = CuckooFilter(1 << 10, f=12)
+    b = CuckooFilter(1 << 10, f=12)
+    ka = [f"a{i}" for i in range(100)]
+    kb = [f"b{i}" for i in range(100)]
+    a.update_hashes(_hashes(ka))
+    b.update_hashes(_hashes(kb))
+    merged, ok = a.copy().merge(b)
+    assert ok
+    for k in ka + kb:
+        assert merged.contains(k)
+
+
+def test_merge_mismatch_raises():
+    with pytest.raises(ValueError):
+        CuckooFilter(64, f=12).merge(CuckooFilter(128, f=12))
+    with pytest.raises(ValueError):
+        CuckooFilter(64, f=12).merge(CuckooFilter(64, f=8))
+
+
+def test_loadfactor_quarter_fill():
+    # reference test/cuckoo_filter.jl:119-127
+    f = CuckooFilter(1 << 10, f=14)
+    n = (4 * f.nbuckets) // 4
+    f.update_hashes(_hashes([f"k{i}" for i in range(n)]))
+    assert abs(f.loadfactor() - 0.25) < 0.02
+    assert f.capacity() == int(0.95 * 4 * f.nbuckets)
+
+
+def test_deterministic_rebuild():
+    """Counter-based kick choice => identical states across rebuilds
+    (resumability requirement, SURVEY.md §7)."""
+    keys = _hashes([f"k{i}" for i in range(900)])
+    a = CuckooFilter(1 << 10, f=12)
+    b = CuckooFilter(1 << 10, f=12)
+    a.update_hashes(keys)
+    b.update_hashes(keys)
+    assert a == b and a.to_bytes() == b.to_bytes()
+
+
+def test_serialization_roundtrip():
+    f = CuckooFilter(1 << 8, f=12)
+    f.update_hashes(_hashes([f"k{i}" for i in range(100)]))
+    data = f.to_bytes()
+    back = CuckooFilter.from_bytes(data)
+    assert back == f and back.to_bytes() == data
+
+
+def test_empirical_fpr():
+    f = CuckooFilter(1 << 12, f=12)
+    f.update_hashes(_hashes([f"in{i}" for i in range(3000)]))
+    probes = _hashes([f"out{i}" for i in range(30_000)])
+    fpr = f.contains_hashes(probes).mean()
+    assert fpr <= 2 * f.fprof() + 0.002
+
+
+def test_constrain():
+    plan = constrain_cuckoo(fpr=0.001, capacity=10_000)
+    assert plan.capacity >= 10_000
+    assert plan.fpr <= 0.001 * 1.05
+    assert plan.len_slots & (plan.len_slots - 1) == 0
+    with pytest.raises(ValueError):
+        constrain_cuckoo(fpr=0.01)

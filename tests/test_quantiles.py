@@ -1,0 +1,165 @@
+"""t-digest / KLL accuracy + merge laws (SURVEY.md §2.5, BASELINE.md)."""
+
+import numpy as np
+import pytest
+
+from probably_jl_spark.sketches.kll import KLL
+from probably_jl_spark.sketches.tdigest import TDigest
+
+QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def _rank_error(sketch_quantile, data_sorted, q):
+    """Distance from q to the true rank *interval* of the estimate — ties
+    in discrete data make a single value own a rank range, any point of
+    which is a correct answer."""
+    est = sketch_quantile(q)
+    n = data_sorted.size
+    lo = np.searchsorted(data_sorted, est, side="left") / n
+    hi = np.searchsorted(data_sorted, est, side="right") / n
+    if lo <= q <= hi:
+        return 0.0
+    return min(abs(q - lo), abs(q - hi))
+
+
+@pytest.mark.parametrize("dist", ["uniform", "lognormal", "zipfy"])
+def test_tdigest_rank_error(dist):
+    rs = np.random.default_rng(7)
+    n = 200_000
+    if dist == "uniform":
+        data = rs.random(n)
+    elif dist == "lognormal":
+        data = rs.lognormal(3.0, 1.2, n)
+    else:
+        data = np.floor(rs.pareto(1.2, n) * 10)
+    td = TDigest(200)
+    for chunk in np.array_split(data, 20):
+        td.update_values(chunk)
+    s = np.sort(data)
+    for q in QS:
+        err = _rank_error(td.quantile, s, q)
+        # t-digest rank error: very small at tails, <~1% mid-range at delta=200
+        bound = 0.012 if 0.25 <= q <= 0.75 else 0.006
+        assert err <= bound, f"{dist} q={q} rank err {err:.4f}"
+
+
+def test_tdigest_merge_matches_single():
+    rs = np.random.default_rng(8)
+    data = rs.lognormal(2, 1, 100_000)
+    parts = np.array_split(data, 16)
+    digests = []
+    for p in parts:
+        d = TDigest(200)
+        d.update_values(p)
+        digests.append(d)
+    merged = digests[0]
+    for d in digests[1:]:
+        merged.merge(d)
+    s = np.sort(data)
+    for q in QS:
+        assert _rank_error(merged.quantile, s, q) <= 0.015
+    assert merged.n == pytest.approx(100_000)
+
+
+def test_tdigest_min_max_exact():
+    td = TDigest(100)
+    td.update_values(np.array([5.0, 1.0, 9.0]))
+    assert td.quantile(0.0) == 1.0 and td.quantile(1.0) == 9.0
+
+
+def test_tdigest_bounded_size():
+    td = TDigest(100)
+    rs = np.random.default_rng(9)
+    for _ in range(50):
+        td.update_values(rs.random(10_000))
+    assert td.means.size <= 2 * 100  # centroid count bounded ~O(delta)
+
+
+def test_tdigest_serialization_roundtrip():
+    td = TDigest(150)
+    td.update_values(np.random.default_rng(1).random(5000))
+    back = TDigest.from_bytes(td.to_bytes())
+    assert back == td and back.to_bytes() == td.to_bytes()
+    assert back.quantile(0.5) == td.quantile(0.5)
+
+
+def test_tdigest_merge_delta_mismatch():
+    with pytest.raises(ValueError):
+        TDigest(100).merge(TDigest(200))
+
+
+# ---------------------------------------------------------------------- KLL
+
+
+@pytest.mark.parametrize("dist", ["uniform", "lognormal"])
+def test_kll_rank_error(dist):
+    rs = np.random.default_rng(17)
+    n = 200_000
+    data = rs.random(n) if dist == "uniform" else rs.lognormal(3, 1.2, n)
+    kll = KLL(200)
+    for chunk in np.array_split(data, 20):
+        kll.update_values(chunk)
+    assert kll.n == n
+    s = np.sort(data)
+    bound = KLL.error_bound(200)  # 1%
+    for q in QS:
+        err = _rank_error(kll.quantile, s, q)
+        assert err <= bound, f"{dist} q={q} rank err {err:.4f}"
+
+
+def test_kll_merge_matches_single():
+    rs = np.random.default_rng(18)
+    data = rs.lognormal(2, 1, 100_000)
+    parts = np.array_split(data, 16)
+    sketches = []
+    for p in parts:
+        k = KLL(200)
+        k.update_values(p)
+        sketches.append(k)
+    merged = sketches[0]
+    for sk in sketches[1:]:
+        merged.merge(sk)
+    assert merged.n == 100_000
+    s = np.sort(data)
+    for q in QS:
+        assert _rank_error(merged.quantile, s, q) <= 2 * KLL.error_bound(200)
+
+
+def test_kll_deterministic():
+    """Counter-based compaction coin => identical states across rebuilds."""
+    data = np.random.default_rng(3).random(50_000)
+    a, b = KLL(128), KLL(128)
+    a.update_values(data)
+    b.update_values(data)
+    assert a == b and a.to_bytes() == b.to_bytes()
+
+
+def test_kll_bounded_size():
+    kll = KLL(200)
+    rs = np.random.default_rng(4)
+    for _ in range(50):
+        kll.update_values(rs.random(20_000))
+    total_items = sum(lv.size for lv in kll.levels)
+    assert total_items <= 3 * 200  # O(k) space
+
+
+def test_kll_rank_and_quantiles_api():
+    kll = KLL(200)
+    kll.update_values(np.arange(10_000, dtype=np.float64))
+    r = kll.rank(5000.0)
+    assert abs(r - 5001) <= 2 / 200 * 10_000 + 1
+    qs = kll.quantiles(QS)
+    assert all(qs[i] <= qs[i + 1] for i in range(len(qs) - 1))
+
+
+def test_kll_serialization_roundtrip():
+    kll = KLL(96)
+    kll.update_values(np.random.default_rng(5).random(30_000))
+    data = kll.to_bytes()
+    back = KLL.from_bytes(data)
+    assert back == kll and back.to_bytes() == data
+
+
+def test_kll_merge_k_mismatch():
+    with pytest.raises(ValueError):
+        KLL(100).merge(KLL(200))
