@@ -1,0 +1,91 @@
+"""Driver-side estimators and batch-query functions over final sketch
+states (SURVEY.md §2.6 "Estimator/query functions").
+
+Point/quantile queries run on the driver against the merged ≤MB state;
+batch variants broadcast the serialized state and evaluate inside Arrow
+pandas UDFs so a DataFrame of millions of probe keys never leaves the
+executors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.specs import sketch_from_bytes
+from ..sketches.bloom import BloomFilter
+from ..sketches.cms import CountMinSketch
+from ..sketches.cuckoo import CuckooFilter
+from ..sketches.hll import HyperLogLog
+from ..sketches.kll import KLL
+from ..sketches.tdigest import TDigest
+
+
+def estimate_cardinality(state) -> int:
+    sk = _materialize(state)
+    if isinstance(sk, (HyperLogLog, BloomFilter)):
+        card = sk.cardinality()
+        return int(card) if np.isfinite(card) else -1
+    raise TypeError(f"no cardinality estimator for {type(sk).__name__}")
+
+
+def query_count(state, key) -> int:
+    sk = _materialize(state)
+    if not isinstance(sk, CountMinSketch):
+        raise TypeError("query_count expects a count-min state")
+    return sk.query(key)
+
+
+def contains(state, key) -> bool:
+    sk = _materialize(state)
+    if isinstance(sk, (BloomFilter, CuckooFilter)):
+        return sk.contains(key)
+    raise TypeError("contains expects a Bloom or cuckoo state")
+
+
+def quantile(state, q: float) -> float:
+    sk = _materialize(state)
+    if isinstance(sk, (TDigest, KLL)):
+        return sk.quantile(q)
+    raise TypeError("quantile expects a t-digest or KLL state")
+
+
+def _materialize(state):
+    if isinstance(state, (bytes, bytearray)):
+        return sketch_from_bytes(state)
+    return state
+
+
+# ----------------------------------------------------------- batch queries
+
+
+def batch_contains(keys_df: DataFrame, key_cols: list[str], state, out_col: str = "member") -> DataFrame:
+    """Membership for every row of keys_df against a broadcast Bloom or
+    cuckoo state: JVM xxhash64 on the keys, vectorized probe in a pandas
+    UDF — no per-row Python, no shuffle."""
+    blob = state if isinstance(state, (bytes, bytearray)) else state.to_bytes()
+    bc = keys_df.sparkSession.sparkContext.broadcast(bytes(blob))
+
+    @F.pandas_udf("boolean")
+    def probe(h: pd.Series) -> pd.Series:
+        sk = sketch_from_bytes(bc.value)
+        hs = h.to_numpy(dtype=np.int64).view(np.uint64)
+        return pd.Series(sk.contains_hashes(hs))
+
+    return keys_df.withColumn(out_col, probe(F.xxhash64(*key_cols)))
+
+
+def batch_query_counts(keys_df: DataFrame, key_cols: list[str], state, out_col: str = "est_count") -> DataFrame:
+    """CMS point-frequency estimates for every row of keys_df."""
+    blob = state if isinstance(state, (bytes, bytearray)) else state.to_bytes()
+    bc = keys_df.sparkSession.sparkContext.broadcast(bytes(blob))
+
+    @F.pandas_udf("long")
+    def probe(h: pd.Series) -> pd.Series:
+        sk = sketch_from_bytes(bc.value)
+        hs = h.to_numpy(dtype=np.int64).view(np.uint64)
+        return pd.Series(sk.query_hashes(hs).astype(np.int64))
+
+    return keys_df.withColumn(out_col, probe(F.xxhash64(*key_cols)))

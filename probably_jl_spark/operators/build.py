@@ -1,0 +1,166 @@
+"""Distributed sketch build: scan → JVM hash → vectorized partition-local
+build → treeReduce merge (SURVEY.md §3.1/§4.3 canonical plan).
+
+Physical plan this module produces:
+
+```
+Scan parquet/Iceberg (pruned: only hashed key cols + value cols read)
+  → Project(xxhash64(keys) AS __h_*, CAST(value AS double) AS __v_*)   [codegen]
+  → mapInPandas(fused build: numpy scatter updates, one state row/partition)
+  → RDD.treeReduce(merge serialized states, depth≈log4(#partitions))
+  → driver: estimators over ≤MB of final state
+```
+
+Catalyst keeps predicate pushdown/column pruning because the projection is
+declarative; the only Python is the Arrow-batched partition-local build.
+No shuffle at all for global sketches; grouped sketches (grouped.py) add
+exactly one hash shuffle on the (salted) group key.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .specs import SketchSpec, merge_blobs, sketch_from_bytes
+
+LINEAGE_COLS = ["partition_id", "n_rows", "build_ms", "input_files"]
+
+
+def prepare(df: DataFrame, specs: list[SketchSpec], lineage: bool = True) -> DataFrame:
+    """JVM-side projection: one xxhash64 per hashed spec (whole-stage
+    codegen), double casts for value specs, optional count col, and
+    input_file_name for lineage. Selecting only these columns is what lets
+    the parquet scan prune to the referenced columns."""
+    cols = []
+    seen = set()
+    for s in specs:
+        if s.key_cols:
+            cols.append(F.xxhash64(*s.key_cols).alias(s.hash_col))
+        if s.value_col:
+            cols.append(F.col(s.value_col).cast("double").alias(s.val_col))
+        if s.count_col:
+            cols.append(F.col(s.count_col).cast("long").alias(s.cnt_col))
+        seen.add(s.name)
+    if len(seen) != len(specs):
+        raise ValueError("duplicate spec names")
+    if lineage:
+        cols.append(F.input_file_name().alias("__file"))
+    return df.select(*cols)
+
+
+def partials_schema(specs: list[SketchSpec]) -> StructType:
+    fields = [
+        StructField("partition_id", IntegerType()),
+        StructField("n_rows", LongType()),
+        StructField("build_ms", DoubleType()),
+        StructField("input_files", ArrayType(StringType())),
+    ]
+    fields += [StructField(s.state_col, BinaryType()) for s in specs]
+    return StructType(fields)
+
+
+def _build_partition(specs: list[SketchSpec], lineage: bool):
+    """Returns the mapInPandas function: consumes Arrow batches, keeps one
+    sketch per spec for the whole partition, emits a single state row."""
+
+    def fn(batches):
+        from pyspark import TaskContext
+
+        t0 = time.perf_counter()
+        sketches = {s.name: s.new() for s in specs}
+        n_rows = 0
+        files: set[str] = set()
+        for pdf in batches:
+            n_rows += len(pdf)
+            if lineage and "__file" in pdf.columns and len(pdf):
+                files.update(pdf["__file"].unique().tolist())
+            for s in specs:
+                h = v = c = None
+                if s.key_cols:
+                    h = pdf[s.hash_col].to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
+                if s.value_col:
+                    v = pdf[s.val_col].to_numpy(dtype=np.float64, na_value=np.nan)
+                if s.count_col:
+                    c = pdf[s.cnt_col].to_numpy(dtype=np.int64, na_value=0).astype(np.uint64)
+                s.update(sketches[s.name], h, v, c)
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        row = {
+            "partition_id": pid,
+            "n_rows": n_rows,
+            "build_ms": (time.perf_counter() - t0) * 1000.0,
+            "input_files": sorted(files),
+        }
+        for s in specs:
+            row[s.state_col] = sketches[s.name].to_bytes()
+        yield pd.DataFrame([row])
+
+    return fn
+
+
+def build_partials(df: DataFrame, specs: list[SketchSpec], lineage: bool = True) -> DataFrame:
+    """One fused vectorized pass: every spec updated from the same Arrow
+    batches; one partial-state row per input partition."""
+    prepared = prepare(df, specs, lineage=lineage)
+    return prepared.mapInPandas(_build_partition(specs, lineage), schema=partials_schema(specs))
+
+
+def tree_merge(partials: DataFrame, specs: list[SketchSpec], depth: int | None = None) -> dict:
+    """treeReduce-style merge of partial states (the reference's own
+    parallelization story, docs/src/hyperloglog.md:16): partial rows are
+    combined executor-side in a tree, so the driver receives one row no
+    matter how many partitions were scanned."""
+    state_cols = [s.state_col for s in specs]
+    rdd = partials.select(*state_cols, "n_rows").rdd
+    if depth is None:
+        nparts = max(2, rdd.getNumPartitions())
+        depth = max(2, int(math.ceil(math.log(nparts, 4))))
+
+    def merge_rows(a, b):
+        merged = [merge_blobs(x, y) for x, y in zip(a[:-1], b[:-1])]
+        return (*merged, a[-1] + b[-1])
+
+    row = rdd.map(tuple).treeReduce(merge_rows, depth=depth)
+    out = {s.name: sketch_from_bytes(row[i]) for i, s in enumerate(specs)}
+    out["__n_rows"] = row[-1]
+    return out
+
+
+@dataclass
+class BuildResult:
+    sketches: dict
+    n_rows: int
+    metrics: dict
+
+
+def sketch_table(df: DataFrame, specs: list[SketchSpec], lineage: bool = False) -> BuildResult:
+    """End-to-end global sketch build: fused scan → partials → tree merge."""
+    t0 = time.perf_counter()
+    partials = build_partials(df, specs, lineage=lineage)
+    merged = tree_merge(partials, specs)
+    wall = time.perf_counter() - t0
+    n = merged.pop("__n_rows")
+    metrics = {
+        "n_rows": n,
+        "wall_sec": wall,
+        "rows_per_sec": n / wall if wall > 0 else float("nan"),
+        "specs": {s.name: s.kind for s in specs},
+    }
+    return BuildResult(sketches=merged, n_rows=n, metrics=metrics)

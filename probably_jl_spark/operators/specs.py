@@ -1,0 +1,119 @@
+"""Sketch job specification — what to sketch over which columns.
+
+A ``SketchSpec`` declares one sketch to build in a (possibly fused) pass:
+which sketch kind, its parameters, and either ``key_cols`` (hashed JVM-side
+with ``xxhash64``; composite keys hash with Spark's multi-column seed
+chaining) or ``value_col`` (quantile sketches consume raw doubles). An
+optional ``count_col`` feeds pre-aggregated multiplicities to CMS
+(reference add!(sketch, x, count), src/countmin/sketch.jl:77-88).
+
+The fused pass builds *all* specs in one scan — the main throughput lever
+at 10^12-turn scale (SURVEY.md §4.3): one shuffle-free pass instead of one
+per sketch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..sketches.bloom import BloomFilter
+from ..sketches.cms import CountMinSketch
+from ..sketches.cuckoo import CuckooFilter
+from ..sketches.hll import HyperLogLog
+from ..sketches.kll import KLL
+from ..sketches.tdigest import TDigest
+from ..sketches import codec
+
+KINDS = ("hll", "cms", "bloom", "cuckoo", "tdigest", "kll")
+_HASH_KINDS = ("hll", "cms", "bloom", "cuckoo")
+
+
+@dataclass(frozen=True)
+class SketchSpec:
+    name: str
+    kind: str
+    key_cols: tuple[str, ...] = ()
+    value_col: str | None = None
+    count_col: str | None = None
+    params: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        if self.kind not in KINDS:
+            raise ValueError(f"unknown sketch kind {self.kind!r}")
+        if self.kind in _HASH_KINDS and not self.key_cols:
+            raise ValueError(f"{self.kind} spec {self.name!r} needs key_cols")
+        if self.kind in ("tdigest", "kll") and not self.value_col:
+            raise ValueError(f"{self.kind} spec {self.name!r} needs value_col")
+
+    @property
+    def hash_col(self) -> str:
+        return f"__h_{self.name}"
+
+    @property
+    def val_col(self) -> str:
+        return f"__v_{self.name}"
+
+    @property
+    def cnt_col(self) -> str:
+        return f"__c_{self.name}"
+
+    @property
+    def state_col(self) -> str:
+        return f"state_{self.name}"
+
+    # --------------------------------------------------------- factories
+    def new(self):
+        p = self.params
+        if self.kind == "hll":
+            return HyperLogLog(p.get("p", 14))
+        if self.kind == "cms":
+            return CountMinSketch(
+                p.get("width", 2048), p.get("depth", 5), p.get("dtype", np.uint32)
+            )
+        if self.kind == "bloom":
+            return BloomFilter(p.get("m", 1 << 20), p.get("k", 5))
+        if self.kind == "cuckoo":
+            return CuckooFilter(p.get("len", 1 << 16), p.get("f", 12))
+        if self.kind == "tdigest":
+            return TDigest(p.get("delta", 200.0))
+        return KLL(p.get("k", 200))
+
+    def update(self, sketch, h: np.ndarray | None, values: np.ndarray | None, counts: np.ndarray | None):
+        if self.kind in ("tdigest", "kll"):
+            sketch.update_values(values)
+        elif self.kind == "cms":
+            sketch.update_hashes(h, counts)
+        else:
+            sketch.update_hashes(h)
+
+
+_DECODERS = {
+    codec.KIND_HLL: HyperLogLog.from_bytes,
+    codec.KIND_CMS: CountMinSketch.from_bytes,
+    codec.KIND_BLOOM: BloomFilter.from_bytes,
+    codec.KIND_CUCKOO: CuckooFilter.from_bytes,
+    codec.KIND_TDIGEST: TDigest.from_bytes,
+    codec.KIND_KLL: KLL.from_bytes,
+}
+
+
+def sketch_from_bytes(blob: bytes):
+    """Decode any sketch blob by its codec kind byte."""
+    return _DECODERS[codec.peek_kind(blob)](bytes(blob))
+
+
+def merge_blobs(a: bytes | None, b: bytes | None) -> bytes | None:
+    """Merge two serialized states (either may be None = identity).
+    Used by treeReduce over partial-state rows."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    sa = sketch_from_bytes(a)
+    sb = sketch_from_bytes(b)
+    merged = sa.merge(sb)
+    if isinstance(merged, tuple):  # cuckoo returns (filter, ok)
+        merged = merged[0]
+    return merged.to_bytes()

@@ -1,0 +1,202 @@
+"""Spark integration (SURVEY.md §5.2 item 4): distributed build over
+parquet == single-process build on collected rows (byte-identical for
+HLL/CMS/Bloom given the deterministic hashing contract); salted ==
+unsalted; grouped sketches; synthetic transcripts determinism."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from probably_jl_spark.functions import batch_contains, batch_query_counts
+from probably_jl_spark.operators.build import build_partials, sketch_table, tree_merge
+from probably_jl_spark.operators.grouped import grouped_sketch
+from probably_jl_spark.operators.specs import SketchSpec, sketch_from_bytes
+from probably_jl_spark.sources.transcripts import (
+    events_as_transcripts,
+    synth_transcripts,
+    with_latency,
+)
+
+SF = "/root/testdata/sf0.001"
+
+SPECS = [
+    SketchSpec("users", "hll", key_cols=("user_id",)),
+    SketchSpec("user_type", "hll", key_cols=("user_id", "event_type")),
+    SketchSpec("type_freq", "cms", key_cols=("event_type",), params={"width": 2048, "depth": 5}),
+    SketchSpec("user_member", "bloom", key_cols=("user_id",), params={"m": 1 << 16, "k": 5}),
+    SketchSpec("value_td", "tdigest", value_col="value"),
+    SketchSpec("value_kll", "kll", value_col="value"),
+]
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet")
+
+
+def test_distributed_equals_local(spark, events):
+    """The core law: N-partition build + tree merge == one local build
+    over the same hashes, byte-identical for deterministic sketches."""
+    ev = events.repartition(7)
+    result = sketch_table(ev, SPECS)
+
+    rows = ev.select(
+        F.xxhash64("user_id").alias("hu"),
+        F.xxhash64("user_id", "event_type").alias("hut"),
+        F.xxhash64("event_type").alias("ht"),
+        F.col("value").cast("double").alias("v"),
+    ).toPandas()
+    hu = rows["hu"].to_numpy(dtype=np.int64).view(np.uint64)
+    hut = rows["hut"].to_numpy(dtype=np.int64).view(np.uint64)
+    ht = rows["ht"].to_numpy(dtype=np.int64).view(np.uint64)
+
+    local = {s.name: s.new() for s in SPECS}
+    local["users"].update_hashes(hu)
+    local["user_type"].update_hashes(hut)
+    local["type_freq"].update_hashes(ht)
+    local["user_member"].update_hashes(hu)
+
+    for name in ("users", "user_type", "type_freq", "user_member"):
+        assert result.sketches[name].to_bytes() == local[name].to_bytes(), name
+
+    exact_users = events.select("user_id").distinct().count()
+    est = result.sketches["users"].cardinality()
+    assert abs(est - exact_users) / exact_users <= 3 * 1.04 / np.sqrt(2**14)
+
+    # quantile sketches: not byte-deterministic across partitionings, but
+    # rank accuracy must hold
+    vals = np.sort(rows["v"].to_numpy(dtype=np.float64))
+    n = vals.size
+    for q in (0.1, 0.5, 0.9, 0.99):
+        for name in ("value_td", "value_kll"):
+            est_v = result.sketches[name].quantile(q)
+            lo = np.searchsorted(vals, est_v, side="left") / n
+            hi = np.searchsorted(vals, est_v, side="right") / n
+            err = 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi))
+            assert err <= 0.02, f"{name} q={q} err={err}"
+
+    assert result.n_rows == n
+
+
+def test_repartitioning_invariance(spark, events):
+    """Deterministic sketches are invariant to the partition layout."""
+    a = sketch_table(events.repartition(3), SPECS[:4])
+    b = sketch_table(events.repartition(13), SPECS[:4])
+    for s in SPECS[:4]:
+        assert a.sketches[s.name].to_bytes() == b.sketches[s.name].to_bytes()
+
+
+def test_partials_lineage(spark, events):
+    partials = build_partials(events.repartition(5), SPECS[:1]).toPandas()
+    assert len(partials) == 5
+    assert (partials["n_rows"] > 0).all()
+    assert partials["n_rows"].sum() == 1000
+    # file lineage is only available scan-side (input_file_name is empty
+    # after a shuffle) — assert it on the unshuffled read
+    direct = build_partials(events, SPECS[:1]).toPandas()
+    assert all("events.parquet" in "".join(f) for f in direct["input_files"])
+    merged = tree_merge(
+        build_partials(events.repartition(5), SPECS[:1]), SPECS[:1]
+    )
+    assert merged["users"].cardinality() > 0
+
+
+def test_grouped_and_salted_agree(spark, events):
+    """salted == unsalted (SURVEY.md §5.2), byte-identical states."""
+    specs = [
+        SketchSpec("u", "hll", key_cols=("user_id",)),
+        SketchSpec("v", "tdigest", value_col="value"),
+    ]
+    plain = (
+        grouped_sketch(events, ["event_type"], specs)
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    salted = (
+        grouped_sketch(events, ["event_type"], specs, salt_buckets=8, salt_cols=["user_id"])
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    assert list(plain.index) == list(salted.index)
+    assert (plain["n_rows"] == salted["n_rows"]).all()
+    for et in plain.index:
+        a = sketch_from_bytes(plain.loc[et, "state_u"])
+        b = sketch_from_bytes(salted.loc[et, "state_u"])
+        assert a.to_bytes() == b.to_bytes(), f"salted HLL mismatch for {et}"
+    # per-group estimates vs exact
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, n in exact.items():
+        est = sketch_from_bytes(plain.loc[et, "state_u"]).cardinality()
+        assert abs(est - n) / n <= 3 * 1.04 / np.sqrt(2**14) + 0.02
+
+
+def test_batch_query_functions(spark, events):
+    res = sketch_table(events, SPECS[:4])
+    bloom = res.sketches["user_member"]
+    cms = res.sketches["type_freq"]
+
+    present = events.select("user_id").distinct()
+    out = batch_contains(present, ["user_id"], bloom).toPandas()
+    assert out["member"].all()  # no false negatives
+
+    absent = spark.range(10_000, 12_000).select(F.col("id").alias("user_id"))
+    fpr = batch_contains(absent, ["user_id"], bloom).toPandas()["member"].mean()
+    assert fpr <= 0.01
+
+    exact = events.groupBy("event_type").count().toPandas()
+    est = batch_query_counts(
+        exact.pipe(lambda p: spark.createDataFrame(p[["event_type"]])), ["event_type"], cms
+    ).toPandas()
+    j = exact.merge(est, on="event_type")
+    assert (j["est_count"] >= j["count"]).all()  # CMS never underestimates
+
+
+def test_synth_transcripts_deterministic(spark):
+    a = synth_transcripts(spark, n_convs=200, seed=42)
+    b = synth_transcripts(spark, n_convs=200, seed=42)
+    pa = a.orderBy("conv_id", "turn_idx").toPandas()
+    pb = b.orderBy("conv_id", "turn_idx").toPandas()
+    # per-row invariant: per-turn text equality under stable ordering
+    assert (pa["text"] == pb["text"]).all()
+    assert (pa["conv_id"] == pb["conv_id"]).all()
+    assert pa["turn_idx"].tolist() == pb["turn_idx"].tolist()
+    assert set(pa["role"].unique()) <= {"user", "assistant", "system", "tool"}
+    # skew: conversation sizes vary (Zipf-ish)
+    sizes = pa.groupby("conv_id").size()
+    assert sizes.max() >= 5 * sizes.median()
+    # tool null-rate ~70%
+    assert 0.5 < pa["tool"].isna().mean() < 0.9
+
+
+def test_transcripts_sketch_pipeline(spark):
+    """Flagship slice over transcripts: distinct conversations via HLL."""
+    tr = synth_transcripts(spark, n_convs=500, seed=42)
+    specs = [
+        SketchSpec("convs", "hll", key_cols=("conv_id",)),
+        SketchSpec("conv_tool", "hll", key_cols=("conv_id", "tool")),
+        SketchSpec("role_freq", "cms", key_cols=("role",)),
+        SketchSpec("turn_len", "kll", value_col="text_len"),
+    ]
+    tr2 = tr.withColumn("text_len", F.length("text").cast("double"))
+    res = sketch_table(tr2, specs)
+    assert abs(res.sketches["convs"].cardinality() - 500) / 500 <= 0.05
+    total = res.n_rows
+    exact_roles = {r["role"]: r["count"] for r in tr2.groupBy("role").count().collect()}
+    for role, n in exact_roles.items():
+        est = res.sketches["role_freq"].query(role)
+        assert n <= est <= n + 0.001 * total + 1
+
+
+def test_latency_window(spark, events):
+    tr = events_as_transcripts(events)
+    lat = with_latency(tr)
+    pdf = lat.filter(F.col("latency_sec").isNotNull()).select("latency_sec").toPandas()
+    assert (pdf["latency_sec"] >= 0).all()
+    assert len(pdf) > 0
