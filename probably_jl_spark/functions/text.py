@@ -1,0 +1,105 @@
+"""Text-analysis functions for training-data pipelines — all JVM-side
+column expressions (whole-stage codegen, no Python in the hot path):
+token counting, quality scoring, language-ID heuristic, document
+fingerprinting. Formulas are pure arithmetic/array ops so an exact SQL
+oracle (DuckDB) can reproduce them bit-for-bit where required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small public stopword lists (top function words per language)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "fr": ["le", "la", "les", "de", "des", "et", "un", "une", "est", "que"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es", "que", "en"],
+    "de": ["der", "die", "das", "und", "ein", "eine", "ist", "zu", "den", "von"],
+}
+
+
+def tokens(col) -> Column:
+    """Whitespace tokens of a text column (empty array for blank text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col) -> Column:
+    """A BPE-ish proxy: word-pieces split on whitespace plus intra-word
+    boundaries between letters and digits/punctuation (regex), the usual
+    cheap stand-in for tokenizer counts at corpus scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.split(F.trim(c), r"(\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|(?=[^\w\s]))")
+    return F.size(F.filter(pieces, lambda t: t != ""))
+
+
+def punct_ratio(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.greatest(F.length(c), F.lit(1))
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return punct / total
+
+
+def stopword_ratio(col, lang: str = "en") -> Column:
+    t = tokens(col)
+    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(t, stop)) / F.greatest(F.size(t), F.lit(1))
+
+
+def quality_milliscore(col) -> Column:
+    """Deterministic [0,1000] integer quality score:
+    0.5 * min(1, len/500) + 0.3 * (1 - punct_ratio) + 0.2 * min(1, tokens/80),
+    scaled by 1000 and floored — integer so exact oracles hash stably."""
+    c = F.col(col) if isinstance(col, str) else col
+    length_term = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - punct_ratio(c)
+    tok_term = F.least(token_count(c) / F.lit(80.0), F.lit(1.0))
+    score = F.lit(0.5) * length_term + F.lit(0.3) * punct_term + F.lit(0.2) * tok_term
+    return F.floor(score * 1000).cast("long")
+
+
+QUALITY_MILLISCORE_SQL = (
+    "CAST(FLOOR((0.5 * LEAST(LENGTH({c}) / 500.0, 1.0)"
+    " + 0.3 * (1.0 - (LENGTH({c}) - LENGTH(REGEXP_REPLACE({c}, '[^\\w\\s]', '', 'g')))"
+    "   / GREATEST(LENGTH({c}), 1)"
+    " + 0.2 * LEAST(LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM({c}), '\\s+')) / 80.0, 1.0)"
+    ") * 1000) AS BIGINT)"
+)
+"""DuckDB rendering of quality_milliscore for exact oracle comparison."""
+
+
+def langid(col) -> Column:
+    """Stopword-vote language ID over {en, fr, es, de}; 'und' when no
+    stopword hits. Deterministic ties broken by fixed language order."""
+    t = tokens(col)
+    scores = []
+    for lang, words in STOPWORDS.items():
+        stop = F.array(*[F.lit(w) for w in words])
+        scores.append((lang, F.size(F.array_intersect(t, stop))))
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    for lang, s in reversed(scores):
+        expr = F.when(s == best, F.lit(lang)).otherwise(expr) if lang != "und" else expr
+    return F.when(best <= 0, F.lit("und")).otherwise(expr)
+
+
+def fingerprint(col) -> Column:
+    """64-bit document fingerprint: xxhash64 of the case/whitespace
+    normalized text — equal normalized content => equal fingerprint."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.xxhash64(normalized)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return (
+        df.withColumn("n_tokens", token_count(text_col))
+        .withColumn("quality_milli", quality_milliscore(text_col))
+        .withColumn("lang_pred", langid(text_col))
+        .withColumn("fingerprint", fingerprint(text_col))
+    )

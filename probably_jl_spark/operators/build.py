@@ -43,26 +43,76 @@ from .specs import SketchSpec, merge_blobs, sketch_from_bytes
 LINEAGE_COLS = ["partition_id", "n_rows", "build_ms", "input_files"]
 
 
-def prepare(df: DataFrame, specs: list[SketchSpec], lineage: bool = True) -> DataFrame:
-    """JVM-side projection: one xxhash64 per hashed spec (whole-stage
+def plan_columns(specs: list[SketchSpec]) -> tuple[list, dict]:
+    """Deduplicated projection plan: specs sharing the same key tuple /
+    value column share one physical column (one xxhash64 evaluation, one
+    Arrow transfer). Returns (columns, col_map) where col_map maps
+    spec.name -> {'h': col, 'v': col, 'c': col}."""
+    cols: list = []
+    col_map: dict[str, dict[str, str]] = {}
+    hash_cols: dict[tuple, str] = {}
+    val_cols: dict[str, str] = {}
+    cnt_cols: dict[str, str] = {}
+    if len({s.name for s in specs}) != len(specs):
+        raise ValueError("duplicate spec names")
+    for s in specs:
+        m: dict[str, str] = {}
+        if s.key_cols:
+            key = tuple(s.key_cols)
+            if key not in hash_cols:
+                hash_cols[key] = f"__h{len(hash_cols)}"
+                cols.append(F.xxhash64(*key).alias(hash_cols[key]))
+            m["h"] = hash_cols[key]
+        if s.value_col:
+            if s.value_col not in val_cols:
+                val_cols[s.value_col] = f"__v{len(val_cols)}"
+                cols.append(F.col(s.value_col).cast("double").alias(val_cols[s.value_col]))
+            m["v"] = val_cols[s.value_col]
+        if s.count_col:
+            if s.count_col not in cnt_cols:
+                cnt_cols[s.count_col] = f"__c{len(cnt_cols)}"
+                cols.append(F.col(s.count_col).cast("long").alias(cnt_cols[s.count_col]))
+            m["c"] = cnt_cols[s.count_col]
+        col_map[s.name] = m
+    return cols, col_map
+
+
+def prepare(df: DataFrame, specs: list[SketchSpec], lineage: bool = True) -> tuple[DataFrame, dict]:
+    """JVM-side projection: one xxhash64 per *unique* key tuple (whole-stage
     codegen), double casts for value specs, optional count col, and
     input_file_name for lineage. Selecting only these columns is what lets
     the parquet scan prune to the referenced columns."""
-    cols = []
-    seen = set()
-    for s in specs:
-        if s.key_cols:
-            cols.append(F.xxhash64(*s.key_cols).alias(s.hash_col))
-        if s.value_col:
-            cols.append(F.col(s.value_col).cast("double").alias(s.val_col))
-        if s.count_col:
-            cols.append(F.col(s.count_col).cast("long").alias(s.cnt_col))
-        seen.add(s.name)
-    if len(seen) != len(specs):
-        raise ValueError("duplicate spec names")
+    cols, col_map = plan_columns(specs)
     if lineage:
         cols.append(F.input_file_name().alias("__file"))
-    return df.select(*cols)
+    return df.select(*cols), col_map
+
+
+def batch_arrays(pdf: pd.DataFrame, specs: list[SketchSpec], col_map: dict) -> dict:
+    """Convert each physical column to numpy once per Arrow batch and fan
+    the shared views out to every spec."""
+    cache: dict[str, np.ndarray] = {}
+    out: dict[str, tuple] = {}
+    for s in specs:
+        m = col_map[s.name]
+        h = v = c = None
+        if "h" in m:
+            cname = m["h"]
+            if cname not in cache:
+                cache[cname] = pdf[cname].to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
+            h = cache[cname]
+        if "v" in m:
+            cname = m["v"]
+            if cname not in cache:
+                cache[cname] = pdf[cname].to_numpy(dtype=np.float64, na_value=np.nan)
+            v = cache[cname]
+        if "c" in m:
+            cname = m["c"]
+            if cname not in cache:
+                cache[cname] = pdf[cname].to_numpy(dtype=np.int64, na_value=0).astype(np.uint64)
+            c = cache[cname]
+        out[s.name] = (h, v, c)
+    return out
 
 
 def partials_schema(specs: list[SketchSpec]) -> StructType:
@@ -76,7 +126,7 @@ def partials_schema(specs: list[SketchSpec]) -> StructType:
     return StructType(fields)
 
 
-def _build_partition(specs: list[SketchSpec], lineage: bool):
+def _build_partition(specs: list[SketchSpec], lineage: bool, col_map: dict):
     """Returns the mapInPandas function: consumes Arrow batches, keeps one
     sketch per spec for the whole partition, emits a single state row."""
 
@@ -91,14 +141,9 @@ def _build_partition(specs: list[SketchSpec], lineage: bool):
             n_rows += len(pdf)
             if lineage and "__file" in pdf.columns and len(pdf):
                 files.update(pdf["__file"].unique().tolist())
+            arrays = batch_arrays(pdf, specs, col_map)
             for s in specs:
-                h = v = c = None
-                if s.key_cols:
-                    h = pdf[s.hash_col].to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
-                if s.value_col:
-                    v = pdf[s.val_col].to_numpy(dtype=np.float64, na_value=np.nan)
-                if s.count_col:
-                    c = pdf[s.cnt_col].to_numpy(dtype=np.int64, na_value=0).astype(np.uint64)
+                h, v, c = arrays[s.name]
                 s.update(sketches[s.name], h, v, c)
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
@@ -118,8 +163,10 @@ def _build_partition(specs: list[SketchSpec], lineage: bool):
 def build_partials(df: DataFrame, specs: list[SketchSpec], lineage: bool = True) -> DataFrame:
     """One fused vectorized pass: every spec updated from the same Arrow
     batches; one partial-state row per input partition."""
-    prepared = prepare(df, specs, lineage=lineage)
-    return prepared.mapInPandas(_build_partition(specs, lineage), schema=partials_schema(specs))
+    prepared, col_map = prepare(df, specs, lineage=lineage)
+    return prepared.mapInPandas(
+        _build_partition(specs, lineage, col_map), schema=partials_schema(specs)
+    )
 
 
 def tree_merge(partials: DataFrame, specs: list[SketchSpec], depth: int | None = None) -> dict:

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, LongType, StructField, StructType
 
+from .build import batch_arrays, plan_columns
 from .specs import SketchSpec, merge_blobs
 
 _SALT_COL = "__salt"
@@ -38,19 +39,14 @@ def _grouped_schema(df: DataFrame, group_cols: list[str], specs: list[SketchSpec
     return StructType(fields)
 
 
-def _build_group(specs: list[SketchSpec], group_cols: list[str]):
+def _build_group(specs: list[SketchSpec], group_cols: list[str], col_map: dict):
     def fn(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         row = {c: k for c, k in zip(group_cols, keys)}
         row[_NROWS_COL] = len(pdf)
+        arrays = batch_arrays(pdf, specs, col_map)
         for s in specs:
             sk = s.new()
-            h = v = c = None
-            if s.key_cols:
-                h = pdf[s.hash_col].to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
-            if s.value_col:
-                v = pdf[s.val_col].to_numpy(dtype=np.float64, na_value=np.nan)
-            if s.count_col:
-                c = pdf[s.cnt_col].to_numpy(dtype=np.int64, na_value=0).astype(np.uint64)
+            h, v, c = arrays[s.name]
             s.update(sk, h, v, c)
             row[s.state_col] = sk.to_bytes()
         return pd.DataFrame([row])
@@ -85,16 +81,10 @@ def grouped_sketch(
 
     With salt_buckets > 1, hot groups fan out over the salt before the
     per-key merge (two shuffles of states, not rows)."""
-    # one declarative projection: group cols + hashed/cast spec cols
-    # (+ the salt, which must be derived before source columns are dropped)
-    cols = [F.col(c) for c in group_cols]
-    for s in specs:
-        if s.key_cols:
-            cols.append(F.xxhash64(*s.key_cols).alias(s.hash_col))
-        if s.value_col:
-            cols.append(F.col(s.value_col).cast("double").alias(s.val_col))
-        if s.count_col:
-            cols.append(F.col(s.count_col).cast("long").alias(s.cnt_col))
+    # one declarative projection: group cols + deduped hashed/cast spec
+    # cols (+ the salt, derived before source columns are dropped)
+    spec_cols, col_map = plan_columns(specs)
+    cols = [F.col(c) for c in group_cols] + spec_cols
     if salt_buckets > 1:
         salt_src = salt_cols or list(specs[0].key_cols) or group_cols
         cols.append(
@@ -105,14 +95,14 @@ def grouped_sketch(
 
     if salt_buckets <= 1:
         return prepared.groupBy(*group_cols).applyInPandas(
-            _build_group(specs, group_cols), schema=schema
+            _build_group(specs, group_cols, col_map), schema=schema
         )
 
     salted = prepared
     stage1_cols = group_cols + [_SALT_COL]
     stage1_schema = _grouped_schema(salted, stage1_cols, specs)
     partials = salted.groupBy(*stage1_cols).applyInPandas(
-        _build_group(specs, stage1_cols), schema=stage1_schema
+        _build_group(specs, stage1_cols, col_map), schema=stage1_schema
     )
     return partials.drop(_SALT_COL).groupBy(*group_cols).applyInPandas(
         _merge_groups(specs, group_cols), schema=schema

@@ -50,13 +50,29 @@ class BloomFilter:
 
     # ------------------------------------------------------------- update
     def update_hashes(self, h: np.ndarray) -> None:
-        """Set k bits per uint64 item hash, vectorized across the batch."""
+        """Set k bits per uint64 item hash. All k probe bit-indices are
+        derived allocation-lean, value-sorted once, and OR-folded per word
+        with reduceat — ufunc.at scatter is ~10x slower on large batches."""
         if h.size == 0:
             return
         h = h.astype(np.uint64, copy=False)
         m = _U(self.m)
+        n = h.size
+        idx = np.empty(n * self.k, dtype=np.uint64)
+        tmp = np.empty(n, dtype=np.uint64)
         for t in range(self.k):
-            idx = mix64(h, SALT_BLOOM + t) % m
+            part = idx[t * n : (t + 1) * n]
+            mix64(h, SALT_BLOOM + t, out=part, tmp=tmp)
+            np.mod(part, m, out=part)
+        if idx.size > 2048:
+            idx.sort()
+            words_of = idx >> _U(6)
+            starts = np.flatnonzero(np.diff(words_of, prepend=np.uint64(1 << 63))).astype(np.int64)
+            bits = _U(1) << (idx & _U(63))
+            orred = np.bitwise_or.reduceat(bits, starts)
+            widx = words_of[starts].astype(np.int64)
+            self.words[widx] |= orred
+        else:
             word = (idx >> _U(6)).astype(np.int64)
             bit = _U(1) << (idx & _U(63))
             np.bitwise_or.at(self.words, word, bit)

@@ -87,18 +87,21 @@ class CountMinSketch:
         if h.size == 0:
             return
         h = h.astype(np.uint64, copy=False)
-        if counts is None:
-            counts = np.ones(h.size, dtype=np.uint64)
-        else:
-            counts = counts.astype(np.uint64, copy=False)
         cap = self._cap
         w = np.uint64(self.width)
+        out = np.empty_like(h)
+        tmp = np.empty_like(h)
+        weights = None if counts is None else counts.astype(np.float64, copy=False)
         for t in range(self.depth):
-            ht = h if t == 0 else mix64(h, SALT_CMS + t)
+            ht = h if t == 0 else mix64(h, SALT_CMS + t, out=out, tmp=tmp)
             idx = (ht % w).astype(np.int64)
-            add = np.bincount(idx, weights=counts.astype(np.float64), minlength=self.width)
-            # float64 weights are exact up to 2^53 per cell per batch
-            wide = self.table[t].astype(np.uint64) + add.astype(np.uint64)
+            if weights is None:
+                add = np.bincount(idx, minlength=self.width).astype(np.uint64)
+            else:
+                # float64 weights are exact up to 2^53 per cell per batch
+                add = np.bincount(idx, weights=weights, minlength=self.width).astype(np.uint64)
+            wide = self.table[t].astype(np.uint64)
+            wide += add
             np.minimum(wide, cap, out=wide)
             self.table[t] = wide.astype(self.dtype)
 

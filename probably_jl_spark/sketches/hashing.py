@@ -172,18 +172,26 @@ def xxhash64_long_array(values: np.ndarray, seed: int = SPARK_SEED) -> np.ndarra
     return h
 
 
-def mix64(h: np.ndarray, salt: int) -> np.ndarray:
+def mix64(h: np.ndarray, salt: int, out: np.ndarray | None = None, tmp: np.ndarray | None = None) -> np.ndarray:
     """Splitmix64-finalizer salt-mix: cheap decorrelated rehash used for the
     per-table (CMS), per-probe (Bloom) and fingerprint (cuckoo) hash chains.
-    Vectorized; also accepts scalar np.uint64 via 0-d arrays."""
+    Vectorized; pass preallocated ``out``/``tmp`` uint64 buffers to make the
+    call allocation-free (the hot build loop is memory-bandwidth-bound)."""
     with np.errstate(over="ignore"):
-        x = h + _U((salt * 0x9E3779B97F4A7C15) & MASK64)
-        x = x ^ (x >> _U(30))
-        x = x * _U(0xBF58476D1CE4E5B9)
-        x = x ^ (x >> _U(27))
-        x = x * _U(0x94D049BB133111EB)
-        x = x ^ (x >> _U(31))
-    return x
+        if out is None:
+            out = np.empty_like(h)
+        if tmp is None:
+            tmp = np.empty_like(h)
+        np.add(h, _U((salt * 0x9E3779B97F4A7C15) & MASK64), out=out)
+        np.right_shift(out, _U(30), out=tmp)
+        np.bitwise_xor(out, tmp, out=out)
+        np.multiply(out, _U(0xBF58476D1CE4E5B9), out=out)
+        np.right_shift(out, _U(27), out=tmp)
+        np.bitwise_xor(out, tmp, out=out)
+        np.multiply(out, _U(0x94D049BB133111EB), out=out)
+        np.right_shift(out, _U(31), out=tmp)
+        np.bitwise_xor(out, tmp, out=out)
+    return out
 
 
 def mix64_scalar(h: int, salt: int) -> int:

@@ -71,21 +71,22 @@ class HyperLogLog:
         if h.size == 0:
             return
         h = h.astype(np.uint64, copy=False)
-        idx = (h >> _U(64 - self.p)).astype(np.int64)
         guard = _U(1) << _U(64 - self.p)
-        rho = (trailing_zeros64(h | guard) + np.uint8(1)).astype(np.uint8)
-        # ufunc.at is slow; segment-max via sort+reduceat is ~10x faster on
-        # large batches and exact.
-        if h.size > 4096:
-            order = np.argsort(idx, kind="stable")
-            sidx = idx[order]
-            srho = rho[order]
-            starts = np.flatnonzero(np.diff(sidx, prepend=-1))
-            seg_max = np.maximum.reduceat(srho, starts)
-            uidx = sidx[starts]
+        rho = trailing_zeros64(h | guard).astype(np.uint64) + _U(1)
+        if h.size > 2048:
+            # segment-max without argsort: pack (bin, rho) into one uint64,
+            # value-sort it, take the last element of every bin group —
+            # ufunc.at is ~10x slower on large batches.
+            packed = ((h >> _U(64 - self.p)) << _U(6)) | rho
+            packed.sort()
+            bins = packed >> _U(6)
+            ends = np.flatnonzero(np.diff(bins, append=np.uint64(1 << 63))).astype(np.int64)
+            uidx = bins[ends].astype(np.int64)
+            seg_max = (packed[ends] & _U(63)).astype(np.uint8)
             self.registers[uidx] = np.maximum(self.registers[uidx], seg_max)
         else:
-            np.maximum.at(self.registers, idx, rho)
+            idx = (h >> _U(64 - self.p)).astype(np.int64)
+            np.maximum.at(self.registers, idx, rho.astype(np.uint8))
 
     # -------------------------------------------------------------- merge
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
