@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from probably_jl_spark.queries import sketch_oracles, sketch_queries  # noqa: E402
+from probably_jl_spark.queries import all_oracles, all_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -54,8 +54,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return sketch_queries()
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    return sketch_oracles()
+    return all_oracles()

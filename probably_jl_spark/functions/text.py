@@ -64,9 +64,10 @@ def quality_milliscore(col) -> Column:
 
 
 QUALITY_MILLISCORE_SQL = (
-    "CAST(FLOOR((0.5 * LEAST(LENGTH({c}) / 500.0, 1.0)"
+    "CAST(FLOOR(("
+    "0.5 * LEAST(LENGTH({c}) / 500.0, 1.0)"
     " + 0.3 * (1.0 - (LENGTH({c}) - LENGTH(REGEXP_REPLACE({c}, '[^\\w\\s]', '', 'g')))"
-    "   / GREATEST(LENGTH({c}), 1)"
+    " / GREATEST(LENGTH({c}), 1))"
     " + 0.2 * LEAST(LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM({c}), '\\s+')) / 80.0, 1.0)"
     ") * 1000) AS BIGINT)"
 )

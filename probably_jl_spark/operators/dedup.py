@@ -55,11 +55,15 @@ def minhash_signatures(
     """(id, sig array<long>[n_hashes]) — sig_j = min over shingles of
     xxhash64(shingle, j). All JVM."""
     sh = shingles(text_col, shingle_k).alias("__sh")
+
+    def perm(j: int):
+        # NB: must be a ONE-parameter lambda — PySpark binds a second
+        # lambda parameter to the array index, which would silently turn
+        # every "permutation" into the same position-dependent hash
+        return lambda s: F.xxhash64(s, F.lit(j))
+
     sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("__sh"), lambda s, j=j: F.xxhash64(s, F.lit(j))))
-            for j in range(n_hashes)
-        ]
+        *[F.array_min(F.transform(F.col("__sh"), perm(j))) for j in range(n_hashes)]
     )
     return df.select(F.col(id_col), sh).select(F.col(id_col), sig.alias("sig"))
 
@@ -189,7 +193,7 @@ def simhash_near_dups(
     with bit_count(a XOR b) in the JVM."""
     sh = simhash(df, id_col, text_col)
     bandcols = F.array(
-        *[((F.col("simhash").cast("long")) >> F.lit(16 * b)).bitwiseAND(F.lit(0xFFFF)) for b in range(4)]
+        *[F.shiftright(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF)) for b in range(4)]
     )
     banded = sh.select(F.col(id_col), F.col("simhash"), F.posexplode(bandcols).alias("band", "chunk"))
     l, r = banded.alias("l"), banded.alias("r")

@@ -34,10 +34,14 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    dtype=np.float32,
 ) -> DataFrame:
     """Exact top-k neighbors per query: (query_id, neighbor_id, sim double,
-    rank int). Ties broken by neighbor_id ascending (deterministic)."""
+    rank int). Ties broken by neighbor_id ascending (deterministic).
+    dtype=np.float64 matches double-precision SQL oracles bit-for-bit at
+    2x the memory traffic; float32 is the at-scale default."""
     qids, qmat = _collect_queries(query_df, id_col, vec_col)
+    qmat = qmat.astype(dtype)
     spark = emb_df.sparkSession
     bc = spark.sparkContext.broadcast((qids, qmat))
 
@@ -45,7 +49,7 @@ def cosine_topk(
         qids_, qmat_ = bc.value
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            mat = np.array(pdf[vec_col].tolist(), dtype=np.float32)
+            mat = np.array(pdf[vec_col].tolist(), dtype=dtype)
             mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
             sims = qmat_ @ mat.T  # (Q, B)
             kk = min(k + (1 if exclude_self else 0), sims.shape[1])
@@ -99,36 +103,73 @@ def hyperplane_buckets(
     return emb_df.mapInPandas(part, schema=f"{id_col} long, {out_col} long").join(emb_df, id_col)
 
 
+def multitable_buckets(
+    emb_df: DataFrame,
+    dim: int,
+    n_tables: int = 16,
+    n_planes: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Standard multi-table sign-LSH: L independent tables of b hyperplanes
+    each. Emits (id, vec, table, bucket) — recall 1-(1-p^b)^L for bit-
+    agreement probability p = 1 - angle/pi, tunable independently of the
+    data's clusteredness (the single-table variant collapses on
+    near-uniform embeddings)."""
+    planes = _planes(dim, n_tables * n_planes, seed)
+    bc = emb_df.sparkSession.sparkContext.broadcast(planes)
+
+    def part(batches):
+        pl = bc.value
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float32)
+            signs = (mat @ pl.T) > 0  # (B, L*b)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            out_id, out_t, out_b = [], [], []
+            for t in range(n_tables):
+                chunk = signs[:, t * n_planes : (t + 1) * n_planes]
+                bucket = (chunk * weights).sum(axis=1)
+                out_id.append(ids)
+                out_t.append(np.full(ids.size, t, dtype=np.int64))
+                out_b.append(bucket)
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(out_id),
+                    "table": np.concatenate(out_t),
+                    "bucket": np.concatenate(out_b),
+                }
+            )
+
+    keys = emb_df.mapInPandas(part, schema=f"{id_col} long, table int, bucket long")
+    return keys.join(emb_df, id_col)
+
+
 def ann_topk_lsh(
     emb_df: DataFrame,
     query_df: DataFrame,
     dim: int,
     k: int = 10,
-    n_planes: int = 10,
+    n_tables: int = 16,
+    n_planes: int = 4,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    multiprobe_bits: int = 2,
 ) -> DataFrame:
-    """Approximate top-k: bucket-join corpus x queries on the LSH bucket
-    (queries multi-probe by flipping each of the lowest `multiprobe_bits`
-    plane bits), exact cosine rerank inside matched buckets. Recall < 1 by
-    construction; verified against cosine_topk in tests/queries."""
-    corpus = hyperplane_buckets(emb_df, dim, n_planes, seed, id_col, vec_col)
-    queries = hyperplane_buckets(query_df, dim, n_planes, seed, id_col, vec_col)
-    probes = F.array(
-        F.col("bucket"),
-        *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(multiprobe_bits)],
+    """Approximate top-k: multi-table LSH bucket join between corpus and
+    queries, exact cosine rerank inside matched buckets only. Recall < 1
+    by construction; verified against cosine_topk in tests/queries."""
+    corpus = multitable_buckets(emb_df, dim, n_tables, n_planes, seed, id_col, vec_col)
+    queries = multitable_buckets(query_df, dim, n_tables, n_planes, seed, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "table", "bucket"
     )
-    q = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qvec"),
-            F.explode(probes).alias("bucket"),
-        )
-    )
-    joined = q.join(corpus.withColumnRenamed(id_col, "neighbor_id"), "bucket").filter(
-        F.col("query_id") != F.col("neighbor_id")
+    joined = (
+        q.join(corpus.withColumnRenamed(id_col, "neighbor_id"), ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qvec", "neighbor_id", vec_col)
+        .distinct()
     )
 
     @F.pandas_udf("double")

@@ -276,6 +276,18 @@ def merge_laws(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------- registry
 
 
+def all_queries() -> dict:
+    out = dict(sketch_queries())
+    out.update(training_queries())
+    return out
+
+
+def all_oracles() -> dict:
+    out = dict(sketch_oracles())
+    out.update(training_oracles())
+    return out
+
+
 def sketch_queries() -> dict:
     return {
         "hll_distinct_users": hll_distinct_users,
@@ -337,5 +349,200 @@ def sketch_oracles() -> dict:
         "merge_laws": (
             "SELECT TRUE AS layout_invariant, TRUE AS merge_commutative, "
             "TRUE AS merge_idempotent, TRUE AS serialization_roundtrip"
+        ),
+    }
+
+
+# =====================================================================
+# Training-data pipeline queries (dedup / similarity / text analysis) —
+# same self-verifying-or-exact oracle discipline as the sketch queries.
+# =====================================================================
+
+_AUG_DOCS_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM "
+    "(SELECT * FROM documents ORDER BY doc_id LIMIT 5)"
+)
+
+
+def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus 5 injected exact duplicates (ids +100000) — the same
+    augmentation the SQL oracle applies, so dedup queries have known dups
+    to find at every sf."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (
+        docs.orderBy("doc_id")
+        .limit(5)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    return docs.unionByName(dups)
+
+
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(_aug_docs(spark, sf_dir)).select("doc_id", "rep_id")
+
+
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs, exact-Jaccard verified at >= 0.8.
+    Oracle = brute-force all-pairs shingle Jaccard in DuckDB; matching
+    exactly proves LSH recall 1.0 on this data AND verification precision."""
+    from .operators.dedup import minhash_near_dups
+
+    out = minhash_near_dups(
+        _aug_docs(spark, sf_dir), threshold=0.8, n_hashes=64, bands=32
+    )
+    return out.select("id_a", "id_b")  # jaccard doubles excluded: hash-stable
+
+
+def simhash_dups_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming <= 2. Exact text duplicates have
+    hamming 0, so the injected pairs are a guaranteed subset; the oracle
+    re-derives the expected exact-dup pairs and the Spark side proves the
+    simhash path found them (found_all boolean)."""
+    from .operators.dedup import simhash_near_dups
+
+    found = simhash_near_dups(_aug_docs(spark, sf_dir), max_hamming=2).toPandas()
+    pairs = {(a, b) for a, b in zip(found.id_a, found.id_b)}
+    expected = {(i, i + 100000) for i in _first5_ids(spark, sf_dir)}
+    ok = expected <= pairs
+    rows = [(int(a), int(b), bool(ok)) for a, b in sorted(expected)]
+    return spark.createDataFrame(rows, "id_a long, id_b long, simhash_found_all boolean")
+
+
+def _first5_ids(spark, sf_dir):
+    return [
+        r["doc_id"]
+        for r in _t(spark, sf_dir, "documents").orderBy("doc_id").limit(5).collect()
+    ]
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for the first 5 vectors (float64 to
+    match the SQL oracle's double precision)."""
+    import numpy as np
+
+    from .operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 5")
+    out = cosine_topk(emb, q, k=10, dtype=np.float64)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH ANN vs exact: mean top-5 recall over 10 queries
+    must clear 0.7 (near-uniform synthetic embeddings are LSH's worst
+    case; 16x4 config targets ~0.9)."""
+    import numpy as np
+
+    from .operators.similarity import ann_topk_lsh, cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 10")
+    exact = cosine_topk(emb, q, k=5).toPandas()
+    approx = ann_topk_lsh(emb, q, dim=64, k=5, n_tables=16, n_planes=4).toPandas()
+    recalls = []
+    for i in range(10):
+        e = set(exact[exact.query_id == i].neighbor_id)
+        a = set(approx[approx.query_id == i].neighbor_id)
+        recalls.append(len(e & a) / max(len(e), 1))
+    return _bool_row(spark, n_queries=10, recall_above_070=bool(np.mean(recalls) >= 0.7))
+
+
+def token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import token_count
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", token_count("text").cast("long").alias("n_tokens"))
+    )
+
+
+def quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import quality_milliscore
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", quality_milliscore("text").alias("quality_milli")
+    )
+
+
+def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint: distinct fingerprints must equal distinct
+    normalized texts (collision-free here), exact count cross-checked."""
+    from .functions.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select(fingerprint("text").alias("f"), F.lower(F.trim("text")).alias("t"))
+    n_fp = fp.select("f").distinct().count()
+    n_text = fp.select("t").distinct().count()
+    n_docs = docs.count()
+    return _bool_row(
+        spark, n_docs=n_docs, distinct_texts=n_text, fingerprint_matches_texts=n_fp == n_text
+    )
+
+
+def training_queries() -> dict:
+    return {
+        "exact_dedup_docs": exact_dedup_docs,
+        "minhash_near_dup_pairs": minhash_near_dup_pairs,
+        "simhash_dups_docs": simhash_dups_docs,
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_lsh_recall": ann_lsh_recall,
+        "token_count_docs": token_count_docs,
+        "quality_score_docs": quality_score_docs,
+        "fingerprint_docs": fingerprint_docs,
+    }
+
+
+def training_oracles() -> dict:
+    from .functions.text import QUALITY_MILLISCORE_SQL
+
+    shingle = (
+        "list_distinct([substring(text, i, 5) "
+        "for i in generate_series(1, greatest(length(text)-4, 1))])"
+    )
+    return {
+        "exact_dedup_docs": (
+            f"WITH aug AS ({_AUG_DOCS_SQL}) "
+            "SELECT d.doc_id, m.rep_id FROM aug d JOIN "
+            "(SELECT text, MIN(doc_id) AS rep_id FROM aug GROUP BY text) m "
+            "USING (text)"
+        ),
+        "minhash_near_dup_pairs": (
+            f"WITH aug AS ({_AUG_DOCS_SQL}), "
+            f"sh AS (SELECT doc_id, {shingle} AS s FROM aug) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b "
+            "ON a.doc_id < b.doc_id "
+            "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
+            "greatest(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 1) >= 0.8"
+        ),
+        "simhash_dups_docs": (
+            "SELECT doc_id AS id_a, doc_id + 100000 AS id_b, TRUE AS simhash_found_all "
+            "FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)"
+        ),
+        "ann_cosine_topk": (
+            "SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+            "list_cosine_similarity(q.embedding, n.embedding) DESC, n.vec_id) AS INT) AS rank "
+            "FROM embeddings q JOIN embeddings n ON q.vec_id < 5 AND n.vec_id != q.vec_id "
+            "QUALIFY rank <= 10"
+        ),
+        "ann_lsh_recall": (
+            "SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_above_070"
+        ),
+        "token_count_docs": (
+            "SELECT doc_id, CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "
+            "AS n_tokens FROM documents"
+        ),
+        "quality_score_docs": (
+            f"SELECT doc_id, {QUALITY_MILLISCORE_SQL.format(c='text')} AS quality_milli "
+            "FROM documents"
+        ),
+        "fingerprint_docs": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(COUNT(DISTINCT lower(trim(text))) AS BIGINT) AS distinct_texts, "
+            "TRUE AS fingerprint_matches_texts FROM documents"
         ),
     }

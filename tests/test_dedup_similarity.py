@@ -1,0 +1,143 @@
+"""Dedup + similarity operators over the driver testdata."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from probably_jl_spark.operators.dedup import (
+    exact_dedup,
+    exact_jaccard_all_pairs,
+    lsh_candidate_pairs,
+    minhash_near_dups,
+    minhash_signatures,
+    simhash,
+    simhash_near_dups,
+)
+from probably_jl_spark.operators.similarity import (
+    ann_topk_lsh,
+    cosine_near_dup_pairs,
+    cosine_topk,
+    hyperplane_buckets,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF}/documents.parquet")
+    # add exact and near duplicates with known ids
+    dup = base.limit(5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    near = base.limit(5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return base.unionByName(dup).unionByName(near).cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs).toPandas()
+    n_base = out[out.doc_id < 100000]
+    assert (n_base.rep_id == n_base.doc_id).all()  # originals are their own rep
+    dups = out[(out.doc_id >= 100000) & (out.doc_id < 200000)]
+    assert (dups.rep_id == dups.doc_id - 100000).all()  # point at originals
+    nears = out[out.doc_id >= 200000]
+    assert (nears.rep_id == nears.doc_id).all()  # near-dups are NOT exact dups
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    found = minhash_near_dups(docs, threshold=0.8).toPandas()
+    pairs = {(a, b) for a, b in zip(found.id_a, found.id_b)}
+    # every exact dup pair and every appended near-dup pair must be found
+    for i in range(5):
+        orig = int(docs.limit(5).collect()[i]["doc_id"])
+        assert (orig, orig + 100000) in pairs, f"exact dup {orig} missed"
+        assert (orig, orig + 200000) in pairs, f"near dup {orig} missed"
+    assert (found.jaccard >= 0.8).all()
+
+
+def test_lsh_recall_vs_bruteforce(spark, docs):
+    """LSH candidates must contain every truly-similar pair (recall 1.0 at
+    this threshold/band config on this data) and exact verify must kill
+    false candidates."""
+    truth = exact_jaccard_all_pairs(docs).filter("jaccard >= 0.8").toPandas()
+    found = minhash_near_dups(docs, threshold=0.8).toPandas()
+    t = {(a, b) for a, b in zip(truth.id_a, truth.id_b)}
+    f = {(a, b) for a, b in zip(found.id_a, found.id_b)}
+    assert t == f, f"missing={t-f} extra={f-t}"
+
+
+def test_minhash_signature_properties(spark, docs):
+    sigs = minhash_signatures(docs.limit(20), n_hashes=32).toPandas()
+    assert all(len(s) == 32 for s in sigs.sig)
+    # identical text => identical signature
+    two = minhash_signatures(docs.filter("doc_id in (0, 100000)")).toPandas()
+    a, b = two.sig.tolist()
+    assert list(a) == list(b)
+
+
+def test_simhash_near_dups(spark, docs):
+    sh = simhash(docs.filter("doc_id in (1, 100001)")).toPandas()
+    assert sh.simhash.nunique() == 1  # identical text => identical simhash
+    found = simhash_near_dups(docs, max_hamming=3).toPandas()
+    pairs = {(a, b) for a, b in zip(found.id_a, found.id_b)}
+    for i in range(5):
+        orig = int(docs.limit(5).collect()[i]["doc_id"])
+        assert (orig, orig + 100000) in pairs  # exact dups: hamming 0
+
+
+def test_cosine_topk_exact(spark, emb):
+    queries = emb.filter("vec_id < 3")
+    out = cosine_topk(emb, queries, k=5).toPandas()
+    assert set(out.query_id) == {0, 1, 2}
+    assert out.groupby("query_id").size().eq(5).all()
+    # verify against numpy brute force
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float32)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    for q in (0, 1, 2):
+        sims = mat @ mat[ids == q].T
+        order = np.argsort(-sims.ravel(), kind="stable")
+        expect = [int(ids[i]) for i in order if ids[i] != q][:5]
+        got = out[out.query_id == q].sort_values("rank").neighbor_id.tolist()
+        assert got == expect, f"q={q}: {got} vs {expect}"
+
+
+def test_ann_lsh_recall(spark, emb):
+    queries = emb.filter("vec_id < 10")
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    approx = ann_topk_lsh(emb, queries, dim=64, k=5, n_tables=16, n_planes=4).toPandas()
+    recalls = []
+    for q in range(10):
+        e = set(exact[exact.query_id == q].neighbor_id)
+        a = set(approx[approx.query_id == q].neighbor_id)
+        recalls.append(len(e & a) / len(e))
+    # these synthetic embeddings are near-uniform (top-5 cosine ~0.32), the
+    # hardest case for LSH; 16 tables x 4 planes gives ~0.9 expected recall
+    assert np.mean(recalls) >= 0.7, f"mean recall {np.mean(recalls)}"
+
+
+def test_hyperplane_buckets_deterministic(spark, emb):
+    a = hyperplane_buckets(emb, dim=64, n_planes=8).select("vec_id", "bucket").toPandas()
+    b = hyperplane_buckets(emb, dim=64, n_planes=8).select("vec_id", "bucket").toPandas()
+    assert a.sort_values("vec_id").bucket.tolist() == b.sort_values("vec_id").bucket.tolist()
+    assert a.bucket.between(0, 255).all()
+
+
+def test_cosine_near_dup_pairs(spark, emb):
+    # duplicate a vector under a new id => must be found with sim ~ 1
+    dup = emb.filter("vec_id = 0").select((F.col("vec_id") + 9999).alias("vec_id"), "embedding", "label")
+    both = emb.unionByName(dup)
+    out = cosine_near_dup_pairs(both, threshold=0.99, dim=64).toPandas()
+    assert ((out.id_a == 0) & (out.id_b == 9999)).any()
