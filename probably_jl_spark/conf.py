@@ -1,0 +1,62 @@
+"""Recommended Spark configuration for sketch builds at cluster scale.
+
+``sketch_build_conf(scale)`` returns the config dict we'd pass to
+spark-submit for a 100 TB / 10^12-turn build, with the reasoning encoded
+next to each knob. ``apply_conf(builder, conf)`` chains them onto a
+SparkSession.Builder. Local tests/bench use the same function with
+scale="local" so the two paths never drift.
+"""
+
+from __future__ import annotations
+
+
+def sketch_build_conf(scale: str = "cluster", cores: int = 32) -> dict[str, str]:
+    common = {
+        # Arrow batches are the unit of numpy work: 64k rows amortizes
+        # Python dispatch without blowing executor memory (~16B/row of
+        # hashed cols => ~1MB per in-flight batch per spec set).
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # AQE: coalesces the tiny state shuffles and splits skewed joins
+        # (LSH band buckets) at runtime.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # deterministic oracle comparisons (duckdb is UTC-naive)
+        "spark.sql.session.timeZone": "UTC",
+        # filters must reach the parquet/Iceberg scan (PLANS.md §1)
+        "spark.sql.parquet.filterPushdown": "true",
+        # python worker reuse: sketch builds pay module import once
+        "spark.python.worker.reuse": "true",
+    }
+    if scale == "local":
+        return common | {
+            "spark.sql.shuffle.partitions": str(cores),
+            "spark.sql.files.maxPartitionBytes": "16m",
+            "spark.driver.memory": "16g",
+        }
+    # cluster: sized for ~1000 executors x 4 cores over ~100 TB parquet
+    return common | {
+        # ~128MB splits => ~800k tasks over 100TB; enough parallelism for
+        # 4k cores without scheduler overload. Partial states are one row
+        # per task => treeReduce depth 4 merges 800k states in 4 waves.
+        "spark.sql.files.maxPartitionBytes": "134217728",
+        # state shuffles (grouped sketches) are tiny; row shuffles (salted
+        # stage 1) want ~2-3x cores
+        "spark.sql.shuffle.partitions": "8192",
+        # each task holds one sketch set (~10-600MB depending on Bloom m)
+        # + Arrow batches; leave headroom for the python worker
+        "spark.executor.memory": "16g",
+        "spark.executor.memoryOverhead": "4g",
+        "spark.python.worker.memory": "2g",
+        # big Bloom states (2^30 bits = 128MB) serialize through the
+        # treeReduce: raise frame sizes accordingly
+        "spark.rpc.message.maxSize": "512",
+        "spark.driver.maxResultSize": "4g",
+    }
+
+
+def apply_conf(builder, conf: dict[str, str]):
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder
