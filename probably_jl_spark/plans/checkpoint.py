@@ -54,13 +54,28 @@ class CheckpointedSketchBuild:
         self.seed = seed
 
     # ------------------------------------------------------------ state
+    def _read_ckpt_eager(self, materialize):
+        """Run ``materialize(df)`` on the state table under a tiny columnar
+        batch size: state rows are MBs each (a 2^26-bit Bloom is 8 MB), and
+        the default 4096-row vectorized-reader batch tries to reserve
+        rows x size bytes of heap at once (observed OOM at the 1 GB default
+        driver heap via spark-submit). The conf must stay small until the
+        *action* runs — reads are lazy — hence the eager wrapper."""
+        key = "spark.sql.parquet.columnarReaderBatchSize"
+        prev = self.spark.conf.get(key, None)
+        self.spark.conf.set(key, "8")
+        try:
+            return materialize(self.spark.read.parquet(self.ckpt_dir))
+        finally:
+            if prev is None:
+                self.spark.conf.unset(key)
+            else:
+                self.spark.conf.set(key, prev)
+
     def done_buckets(self) -> set[int]:
         try:
-            rows = (
-                self.spark.read.parquet(self.ckpt_dir)
-                .select(BUCKET_COL)
-                .distinct()
-                .collect()
+            rows = self._read_ckpt_eager(
+                lambda df: df.select(BUCKET_COL).distinct().collect()
             )
         except Exception:
             return set()
@@ -94,13 +109,7 @@ class CheckpointedSketchBuild:
             out = per_bucket.withColumn("attempt", F.lit(attempt))
             out.write.mode("append").parquet(self.ckpt_dir)
             # groupBy drops empty buckets: mark them done with empty states
-            produced = {
-                r[BUCKET_COL]
-                for r in self.spark.read.parquet(self.ckpt_dir)
-                .select(BUCKET_COL)
-                .distinct()
-                .collect()
-            }
+            produced = self.done_buckets()
             empty = sorted(missing - produced)
             if empty:
                 rows = []
@@ -117,7 +126,7 @@ class CheckpointedSketchBuild:
             built_now = len(missing)
 
         # ------------------------------------------------------- merge
-        ckpt = self.spark.read.parquet(self.ckpt_dir).toPandas()
+        ckpt = self._read_ckpt_eager(lambda df: df.toPandas())
         # dedupe re-appended buckets (concurrent/retried runs): keep first
         # attempt per bucket — states are deterministic so any attempt works
         ckpt = ckpt.sort_values("attempt").drop_duplicates(subset=[BUCKET_COL], keep="first")
