@@ -60,3 +60,26 @@ def apply_conf(builder, conf: dict[str, str]):
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder
+
+
+def iceberg_conf(
+    catalog: str = "lake",
+    warehouse: str = "s3://warehouse/path",
+    catalog_impl: str = "org.apache.iceberg.spark.SparkCatalog",
+    catalog_type: str = "glue",
+) -> dict[str, str]:
+    """Standard Iceberg catalog wiring for the production transcripts table
+    (spark.read.table(f"{catalog}.db.transcripts")). Requires the
+    iceberg-spark-runtime jar on the cluster (not present in this sandbox —
+    local tests read parquet with the identical schema, see
+    sources/transcripts.py). Partition spec recommendation for 10^12 turns:
+    days(ts) + bucket(1024, conv_id) so scans prune by time and the
+    checkpoint build's conv_id buckets align with file layout."""
+    return {
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        ),
+        f"spark.sql.catalog.{catalog}": catalog_impl,
+        f"spark.sql.catalog.{catalog}.type": catalog_type,
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+    }

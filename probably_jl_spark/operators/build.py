@@ -177,8 +177,11 @@ def tree_merge(partials: DataFrame, specs: list[SketchSpec], depth: int | None =
     state_cols = [s.state_col for s in specs]
     rdd = partials.select(*state_cols, "n_rows").rdd
     if depth is None:
+        # each extra level is one more scheduling wave (~0.5s fixed): depth
+        # 2 handles thousands of ≤MB state rows; go deeper only at real
+        # cluster fan-in (100k+ partials)
         nparts = max(2, rdd.getNumPartitions())
-        depth = max(2, int(math.ceil(math.log(nparts, 4))))
+        depth = 2 if nparts <= 2048 else max(3, int(math.ceil(math.log(nparts, 32))))
 
     def merge_rows(a, b):
         merged = [merge_blobs(x, y) for x, y in zip(a[:-1], b[:-1])]

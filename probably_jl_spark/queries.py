@@ -97,6 +97,25 @@ def hll_grouped_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_vs_spark_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Independent-oracle cross-check (SURVEY.md §4.2): our HLL and Spark's
+    built-in approx_count_distinct (HLL++, different registers) must BOTH
+    land within bound of the exact distinct count."""
+    ev = _t(spark, sf_dir, "events")
+    res = sketch_table(ev, [SketchSpec("u", "hll", key_cols=("user_id",))])
+    ours = res.sketches["u"].cardinality()
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", 0.01).alias("builtin"),
+    ).collect()[0]
+    exact = row["exact"]
+    ours_ok = abs(ours - exact) / max(exact, 1) <= HLL_BOUND
+    builtin_ok = abs(row["builtin"] - exact) / max(exact, 1) <= 0.05
+    return _bool_row(
+        spark, exact_distinct=exact, ours_within_bound=ours_ok, builtin_within_bound=builtin_ok
+    )
+
+
 # --------------------------------------------------------------- CMS
 
 
@@ -294,6 +313,7 @@ def sketch_queries() -> dict:
         "hll_distinct_user_type": hll_distinct_user_type,
         "hll_distinct_custkey": hll_distinct_custkey,
         "hll_grouped_users_by_type": hll_grouped_users_by_type,
+        "hll_vs_spark_builtin": hll_vs_spark_builtin,
         "cms_event_type_freq": cms_event_type_freq,
         "cms_returnflag_linestatus": cms_returnflag_linestatus,
         "bloom_membership_users": bloom_membership_users,
@@ -323,6 +343,10 @@ def sketch_oracles() -> dict:
         "hll_grouped_users_by_type": (
             "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct, "
             "TRUE AS hll_within_bound FROM events GROUP BY event_type"
+        ),
+        "hll_vs_spark_builtin": (
+            "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct, "
+            "TRUE AS ours_within_bound, TRUE AS builtin_within_bound FROM events"
         ),
         "cms_event_type_freq": (
             "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_cnt, "

@@ -282,6 +282,21 @@ class CuckooFilter:
     def capacity(self) -> int:
         return int(0.95 * 4 * self.nbuckets)  # reference filter.jl:505-514
 
+    def stats(self) -> dict:
+        """Summary stats (reference stats(), filter.jl:549-555): occupancy,
+        capacity, memory, closed-state, expected FPR at current load."""
+        return {
+            "f_bits": self.f,
+            "nbuckets": self.nbuckets,
+            "slots": 4 * self.nbuckets,
+            "occupied": int(round(self.loadfactor() * 4 * self.nbuckets)),
+            "loadfactor": self.loadfactor(),
+            "capacity": self.capacity(),
+            "memory_bytes": self.buckets.nbytes,
+            "closed": bool(self.ejected),
+            "fprof": self.fprof(),
+        }
+
     def fprof(self) -> float:
         """Closed-form false-positive probability at current load
         (reference filter.jl:524-533 shape: ~ 8*lf / 2^F)."""

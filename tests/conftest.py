@@ -16,19 +16,18 @@ def rng():
 
 @pytest.fixture(scope="session")
 def spark():
-    """One shared local SparkSession for all integration tests."""
+    """One shared local SparkSession for all integration tests (same conf
+    module as bench/production so the paths never drift)."""
     from pyspark.sql import SparkSession
 
-    spark = (
+    from probably_jl_spark.conf import apply_conf, sketch_build_conf
+
+    builder = (
         SparkSession.builder.master("local[4]")
         .appName("probably-jl-spark-tests")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "4g")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .getOrCreate()
     )
+    spark = apply_conf(builder, sketch_build_conf("local", cores=4)).getOrCreate()
     yield spark
     spark.stop()
 

@@ -80,3 +80,19 @@ def test_mismatched_config_resume_rejected(spark, ckpt_dir):
     b3 = CheckpointedSketchBuild(spark, SPECS[:1], ckpt_dir, n_buckets=8, bucket_cols=("user_id",))
     with pytest.raises(ValueError, match="cannot resume"):
         b3.run(ev)
+
+
+def test_empty_buckets_marked_done(spark, ckpt_dir):
+    """With more buckets than keys, some buckets are empty; they must be
+    recorded (empty states) so resume doesn't reprocess them forever, and
+    the parquet append with a different column order must still read."""
+    ev = spark.read.parquet(f"{SF}/events.parquet").filter("user_id < 3")
+    build = CheckpointedSketchBuild(
+        spark, SPECS, ckpt_dir, n_buckets=64, bucket_cols=("user_id",)
+    )
+    res = build.run(ev)
+    assert build.is_complete()
+    assert res.metrics["buckets_done"] == 64
+    again = build.run(ev)
+    assert again.metrics["buckets_built_this_run"] == 0
+    assert again.n_rows == res.n_rows
