@@ -176,11 +176,14 @@ def tree_merge(partials: DataFrame, specs: list[SketchSpec], depth: int | None =
     matter how many partitions were scanned."""
     state_cols = [s.state_col for s in specs]
     rdd = partials.select(*state_cols, "n_rows").rdd
+    nparts = max(1, rdd.getNumPartitions())
+    # NB: do NOT coalesce() here — a non-shuffle coalesce propagates into
+    # the mapInPandas stage and would serialize the build itself; the tree
+    # adds only ~sqrt(nparts) reduce tasks on top of the scan tasks.
     if depth is None:
         # each extra level is one more scheduling wave (~0.5s fixed): depth
         # 2 handles thousands of ≤MB state rows; go deeper only at real
         # cluster fan-in (100k+ partials)
-        nparts = max(2, rdd.getNumPartitions())
         depth = 2 if nparts <= 2048 else max(3, int(math.ceil(math.log(nparts, 32))))
 
     def merge_rows(a, b):
