@@ -259,6 +259,39 @@ def latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, "q")
 
 
+def grouped_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile sketches (salted grouped t-digest + KLL of value
+    by event_type); each group's p50/p99 estimate rank-checked against the
+    group's exact distribution."""
+    ev = _t(spark, sf_dir, "events")
+    states = grouped_sketch(
+        ev,
+        ["event_type"],
+        [
+            SketchSpec("td", "tdigest", value_col="value"),
+            SketchSpec("kl", "kll", value_col="value", params={"k": 200}),
+        ],
+        salt_buckets=4,
+        salt_cols=["event_id"],
+    ).toPandas()
+    rows = []
+    for _, r in states.iterrows():
+        et = r["event_type"]
+        td = sketch_from_bytes(r["state_td"])
+        kl = sketch_from_bytes(r["state_kl"])
+        grp = ev.filter(F.col("event_type") == et)
+        n = grp.count()
+        for q_label, q in (("0.5", 0.5), ("0.99", 0.99)):
+            ok = True
+            for est in (td.quantile(q), kl.quantile(q)):
+                lo = grp.filter(F.col("value") < est).count() / n
+                hi = grp.filter(F.col("value") <= est).count() / n
+                err = 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi))
+                ok &= err <= 0.02
+            rows.append((et, q_label, bool(ok)))
+    return spark.createDataFrame(rows, "event_type string, q string, within_bound boolean")
+
+
 # ----------------------------------------------------------- merge laws
 
 
@@ -319,6 +352,7 @@ def sketch_queries() -> dict:
         "bloom_membership_users": bloom_membership_users,
         "cuckoo_membership_types": cuckoo_membership_types,
         "tdigest_value_quantiles": tdigest_value_quantiles,
+        "grouped_quantiles_by_type": grouped_quantiles_by_type,
         "kll_nchars_quantiles": kll_nchars_quantiles,
         "latency_quantiles": latency_quantiles,
         "merge_laws": merge_laws,
@@ -364,6 +398,10 @@ def sketch_oracles() -> dict:
             "SELECT CAST(0 AS BIGINT) AS false_negatives, TRUE AS deletion_ok"
         ),
         "tdigest_value_quantiles": f"SELECT * FROM (VALUES {qrows}) AS t(q, within_bound)",
+        "grouped_quantiles_by_type": (
+            "SELECT event_type, q, TRUE AS within_bound FROM "
+            "(SELECT DISTINCT event_type FROM events), (VALUES ('0.5'), ('0.99')) AS t(q)"
+        ),
         "kll_nchars_quantiles": f"SELECT * FROM (VALUES {qrows}) AS t(q, within_bound)",
         "latency_quantiles": (
             "SELECT * FROM (VALUES "
