@@ -94,6 +94,10 @@ def fused_transcripts(spark, path):
     from probably_jl_spark.operators.build import sketch_table
 
     df = spark.read.parquet(path)
+    # NB: preagg=("role_freq","tool_freq") was measured SLOWER here — two
+    # extra 19M-row scans cost more than shipping the two hash columns
+    # through Arrow; preagg wins only when CMS is built alone (1 scan +
+    # tiny transfer) or rows are far wider than the hash columns.
     return sketch_table(df, transcript_specs())
 
 

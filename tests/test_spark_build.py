@@ -200,3 +200,26 @@ def test_latency_window(spark, events):
     pdf = lat.filter(F.col("latency_sec").isNotNull()).select("latency_sec").toPandas()
     assert (pdf["latency_sec"] >= 0).all()
     assert len(pdf) > 0
+
+
+def test_preagg_cms_byte_identical(spark, events):
+    """CMS built from a JVM groupBy(hash).count() pre-aggregation must be
+    byte-identical to the per-row Arrow path (saturating adds are
+    monotone)."""
+    spec = SketchSpec("t", "cms", key_cols=("event_type",), params={"width": 1024, "depth": 4})
+    row_path = sketch_table(events, [spec])
+    pre_path = sketch_table(events, [spec], preagg=("t",))
+    assert row_path.sketches["t"].to_bytes() == pre_path.sketches["t"].to_bytes()
+    assert pre_path.n_rows == 1000
+    # mixed fused + preagg
+    mixed = sketch_table(
+        events,
+        [SketchSpec("u", "hll", key_cols=("user_id",)), spec],
+        preagg=("t",),
+    )
+    assert mixed.sketches["t"].to_bytes() == row_path.sketches["t"].to_bytes()
+    assert mixed.sketches["u"].cardinality() > 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="preagg only supports cms"):
+        sketch_table(events, [SketchSpec("u", "hll", key_cols=("user_id",))], preagg=("u",))
