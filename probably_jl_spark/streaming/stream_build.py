@@ -135,3 +135,65 @@ def windowed_sketch_stream(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def stateful_grouped_stream_df(
+    sdf: DataFrame,
+    group_cols: list[str],
+    specs: list[SketchSpec],
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Per-key sketch states as a *native Spark stateful operator*:
+    ``applyInPandasWithState`` keeps each group's serialized sketch blobs
+    in the state store (RocksDB/HDFS-backed on a cluster, so state
+    survives restarts via the query checkpoint — unlike the foreachBatch
+    path, which owns its own store). Every trigger emits the group's
+    updated running states + estimates.
+
+    Returns the (streaming) DataFrame; caller attaches the sink. Update
+    semantics: each emitted row supersedes the previous row for its key.
+    Restart note (verified): the state store recovers across query
+    restarts when the sink supports checkpoint recovery — use foreachBatch
+    or a transactional sink; Spark's memory sink does not recover.
+    """
+    import pandas as pd
+
+    from ..operators.build import batch_arrays, plan_columns
+    from ..operators.specs import sketch_from_bytes
+
+    spec_cols, col_map = plan_columns(specs)
+    prepared = sdf.select(*[F.col(c) for c in group_cols], *spec_cols)
+
+    out_schema = ", ".join(
+        [f"{c} string" for c in group_cols]
+        + ["n_rows long"]
+        + [f"{s.state_col} binary" for s in specs]
+    )
+    state_schema = ", ".join(["n_rows long"] + [f"{s.state_col} binary" for s in specs])
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            stored = state.get
+            n_rows = stored[0]
+            sketches = {
+                s.name: sketch_from_bytes(stored[1 + i]) for i, s in enumerate(specs)
+            }
+        else:
+            n_rows = 0
+            sketches = {s.name: s.new() for s in specs}
+        for pdf in pdfs:
+            n_rows += len(pdf)
+            arrays = batch_arrays(pdf, specs, col_map)
+            for s in specs:
+                h, v, c = arrays[s.name]
+                s.update(sketches[s.name], h, v, c)
+        blobs = tuple(sketches[s.name].to_bytes() for s in specs)
+        state.update((n_rows, *blobs))
+        yield pd.DataFrame(
+            [{**{c: k for c, k in zip(group_cols, key)}, "n_rows": n_rows,
+              **{s.state_col: blobs[i] for i, s in enumerate(specs)}}]
+        )
+
+    return prepared.groupBy(*group_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", timeout
+    )

@@ -116,3 +116,55 @@ def test_windowed_stream(spark, dirs):
         sk = store.sketches(SPECS, g)
         assert sk["users"].cardinality() >= 0
     assert total == 1000
+
+
+def test_stateful_grouped_stream(spark, dirs):
+    """applyInPandasWithState path: running per-key states across two
+    file arrivals equal the batch grouped build."""
+    from probably_jl_spark.operators.grouped import grouped_sketch
+    from probably_jl_spark.operators.specs import sketch_from_bytes
+    from probably_jl_spark.streaming.stream_build import stateful_grouped_stream_df
+
+    import time
+
+    ev, chunk_b = _feed_in_two_chunks(spark, dirs["in"])
+    schema = ev.schema
+    sdf = spark.readStream.schema(schema).parquet(dirs["in"])
+    out = stateful_grouped_stream_df(sdf, ["event_type"], SPECS)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_sketches")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+
+    def rows_seen():
+        return spark.sql(
+            "select coalesce(sum(n), 0) from (select max(n_rows) n from "
+            "stateful_sketches group by event_type)"
+        ).collect()[0][0]
+
+    deadline = time.time() + 120
+    while rows_seen() < 500 and time.time() < deadline:
+        time.sleep(1)
+    # second chunk arrives while the query runs — state must accumulate
+    chunk_b.coalesce(1).write.mode("append").parquet(dirs["in"])
+    while rows_seen() < 1000 and time.time() < deadline:
+        time.sleep(1)
+    q.stop()
+
+    emitted = spark.sql("select * from stateful_sketches").toPandas()
+    # the row with the max n_rows per key is the final running state
+    last = emitted.sort_values("n_rows").groupby("event_type").last()
+    batch = (
+        grouped_sketch(ev, ["event_type"], SPECS).toPandas().set_index("event_type")
+    )
+    assert sorted(last.index) == sorted(batch.index)
+    assert last["n_rows"].sum() == 1000
+    for et in batch.index:
+        a = sketch_from_bytes(bytes(last.loc[et, "state_users"]))
+        b = sketch_from_bytes(bytes(batch.loc[et, "state_users"]))
+        assert a.to_bytes() == b.to_bytes(), f"HLL state mismatch for {et}"
+        assert last.loc[et, "n_rows"] == batch.loc[et, "n_rows"]
