@@ -86,7 +86,15 @@ def grouped_sketch(
     spec_cols, col_map = plan_columns(specs)
     cols = [F.col(c) for c in group_cols] + spec_cols
     if salt_buckets > 1:
-        salt_src = salt_cols or list(specs[0].key_cols) or group_cols
+        salt_src = salt_cols or next((list(s.key_cols) for s in specs if s.key_cols), None)
+        if not salt_src or list(salt_src) == list(group_cols):
+            # salting by the group key itself puts a hot group's rows in
+            # ONE salt bucket — the exact straggler the salt exists to
+            # prevent; demand a finer-grained salt source instead
+            raise ValueError(
+                "salt_buckets > 1 needs salt_cols finer-grained than the "
+                "group key (no key-bearing spec to borrow from)"
+            )
         cols.append(
             F.pmod(F.xxhash64(*salt_src, F.lit(salt_seed)), F.lit(salt_buckets)).alias(_SALT_COL)
         )

@@ -19,12 +19,28 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _collect_queries(query_df: DataFrame, id_col: str, vec_col: str):
+def _collect_queries(query_df: DataFrame, id_col: str, vec_col: str, dtype=np.float32):
     rows = query_df.select(id_col, vec_col).collect()
     qids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    qmat = np.array([r[vec_col] for r in rows], dtype=np.float32)
+    qmat = np.array([r[vec_col] for r in rows], dtype=dtype)
     qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
     return qids, qmat
+
+
+def _cosine_udf():
+    """Normalized-cosine pandas UDF (created lazily: pandas_udf needs an
+    active session). Single definition shared by the LSH rerank and the
+    near-dup pipeline."""
+
+    @F.pandas_udf("double")
+    def cos(qv: pd.Series, xv: pd.Series) -> pd.Series:
+        a = np.array(qv.tolist(), dtype=np.float32)
+        b = np.array(xv.tolist(), dtype=np.float32)
+        an = a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
+        bn = b / np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
+        return pd.Series((an * bn).sum(axis=1).astype(np.float64))
+
+    return cos
 
 
 def cosine_topk(
@@ -40,8 +56,7 @@ def cosine_topk(
     rank int). Ties broken by neighbor_id ascending (deterministic).
     dtype=np.float64 matches double-precision SQL oracles bit-for-bit at
     2x the memory traffic; float32 is the at-scale default."""
-    qids, qmat = _collect_queries(query_df, id_col, vec_col)
-    qmat = qmat.astype(dtype)
+    qids, qmat = _collect_queries(query_df, id_col, vec_col, dtype=dtype)
     spark = emb_df.sparkSession
     bc = spark.sparkContext.broadcast((qids, qmat))
 
@@ -172,15 +187,7 @@ def ann_topk_lsh(
         .distinct()
     )
 
-    @F.pandas_udf("double")
-    def cos(qv: pd.Series, xv: pd.Series) -> pd.Series:
-        a = np.array(qv.tolist(), dtype=np.float32)
-        b = np.array(xv.tolist(), dtype=np.float32)
-        an = a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
-        bn = b / np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
-        return pd.Series((an * bn).sum(axis=1).astype(np.float64))
-
-    scored = joined.withColumn("sim", cos(F.col("qvec"), F.col(vec_col)))
+    scored = joined.withColumn("sim", _cosine_udf()(F.col("qvec"), F.col(vec_col)))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.select("query_id", "neighbor_id", "sim")
@@ -207,16 +214,8 @@ def cosine_near_dup_pairs(
     r = corpus.select(F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = l.join(r, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
 
-    @F.pandas_udf("double")
-    def cos(qv: pd.Series, xv: pd.Series) -> pd.Series:
-        a = np.array(qv.tolist(), dtype=np.float32)
-        b = np.array(xv.tolist(), dtype=np.float32)
-        an = a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
-        bn = b / np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
-        return pd.Series((an * bn).sum(axis=1).astype(np.float64))
-
     return (
-        pairs.withColumn("sim", cos("va", "vb"))
+        pairs.withColumn("sim", _cosine_udf()("va", "vb"))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
         .distinct()

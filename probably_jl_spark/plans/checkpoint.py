@@ -108,8 +108,14 @@ class CheckpointedSketchBuild:
             attempt = uuid.uuid4().hex[:12]
             out = per_bucket.withColumn("attempt", F.lit(attempt))
             out.write.mode("append").parquet(self.ckpt_dir)
-            # groupBy drops empty buckets: mark them done with empty states
-            produced = self.done_buckets()
+            # groupBy drops empty buckets: mark them done with empty states.
+            # Derive which buckets actually had rows from the INPUT, not
+            # from reading the checkpoint back — a transient read error
+            # there must not spawn empty markers shadowing real rows.
+            produced = {
+                r[BUCKET_COL]
+                for r in bucketed.select(BUCKET_COL).distinct().collect()
+            }
             empty = sorted(missing - produced)
             if empty:
                 rows = []
@@ -127,9 +133,15 @@ class CheckpointedSketchBuild:
 
         # ------------------------------------------------------- merge
         ckpt = self._read_ckpt_eager(lambda df: df.toPandas())
-        # dedupe re-appended buckets (concurrent/retried runs): keep first
-        # attempt per bucket — states are deterministic so any attempt works
-        ckpt = ckpt.sort_values("attempt").drop_duplicates(subset=[BUCKET_COL], keep="first")
+        # dedupe re-appended buckets (concurrent/retried runs): non-empty
+        # rows outrank empty markers, then first attempt wins — real states
+        # are deterministic so any non-empty attempt is the same bytes
+        ckpt = (
+            ckpt.assign(_empty=ckpt["n_rows"] == 0)
+            .sort_values(["_empty", "attempt"])
+            .drop_duplicates(subset=[BUCKET_COL], keep="first")
+            .drop(columns="_empty")
+        )
         sketches = {}
         for s in self.specs:
             acc = None

@@ -121,14 +121,19 @@ def xxhash64_bytes(data: bytes, seed: int = SPARK_SEED) -> int:
     return _fmix(h)
 
 
-def xxhash64_any(value, seed: int = SPARK_SEED) -> int:
+def xxhash64_any(value, seed: int = SPARK_SEED, int_bytes: int = 8) -> int:
     """Hash one Python value the way Spark's xxhash64 hashes the matching
-    column type (int -> long path, str -> UTF-8 bytes path)."""
+    column type (str -> UTF-8 bytes path; int -> long path by default).
+    Spark hashes IntegerType columns through a 4-byte path: pass
+    ``int_bytes=4`` when the distributed build keyed on an int32 column,
+    or driver-side point queries will disagree with the build."""
     if value is None:
         return seed & MASK64  # Spark: null leaves the running hash unchanged
     if isinstance(value, bool):
         return xxhash64_int(1 if value else 0, seed)
     if isinstance(value, (int, np.integer)):
+        if int_bytes == 4:
+            return xxhash64_int(int(value), seed)
         return xxhash64_long(int(value), seed)
     if isinstance(value, str):
         return xxhash64_bytes(value.encode("utf-8"), seed)
@@ -137,14 +142,15 @@ def xxhash64_any(value, seed: int = SPARK_SEED) -> int:
     raise TypeError(f"unsupported key type for xxhash64: {type(value)}")
 
 
-def xxhash64_cols(*values, seed: int = SPARK_SEED) -> int:
+def xxhash64_cols(*values, seed: int = SPARK_SEED, int_bytes: int = 8) -> int:
     """Spark's multi-column ``xxhash64(c1, c2, ...)``: the hash of column i
-    seeds the hash of column i+1; nulls are skipped."""
+    seeds the hash of column i+1; nulls are skipped. ``int_bytes=4`` for
+    IntegerType (int32) columns — see xxhash64_any."""
     h = seed
     for v in values:
         if v is None:
             continue
-        h = xxhash64_any(v, h)
+        h = xxhash64_any(v, h, int_bytes=int_bytes)
     return h & MASK64
 
 

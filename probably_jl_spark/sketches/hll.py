@@ -104,9 +104,11 @@ class HyperLogLog:
         return alpha_inf * m * m / z
 
     def cardinality(self) -> int:
-        """Rounded estimate (reference length(), hyperloglog.jl:218-223)."""
+        """Rounded estimate (reference length(), hyperloglog.jl:218-223).
+        A fully-saturated register file estimates to infinity — clamp to
+        int64 max instead of crashing (int(inf) raises)."""
         e = self.estimate()
-        return int(round(e)) if math.isfinite(e) else int(e)
+        return int(round(e)) if math.isfinite(e) else (1 << 63) - 1
 
     # -------------------------------------------------------- bookkeeping
     def is_empty(self) -> bool:

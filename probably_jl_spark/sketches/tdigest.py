@@ -50,7 +50,11 @@ class TDigest:
     # ------------------------------------------------------------- update
     def update_values(self, values: np.ndarray, weights: np.ndarray | None = None) -> None:
         values = np.asarray(values, dtype=np.float64)
-        values = values[~np.isnan(values)]
+        keep = ~np.isnan(values)
+        if not keep.all():
+            values = values[keep]
+            if weights is not None:
+                weights = np.asarray(weights, dtype=np.float64)[keep]
         if values.size == 0:
             return
         self.vmin = min(self.vmin, float(values.min()))
@@ -135,7 +139,6 @@ class TDigest:
         total = self.weights.sum()
         cum = np.cumsum(self.weights)
         mids = cum - 0.5 * self.weights
-        i = int(np.searchsorted(self.means, x))
         pts_r = np.concatenate([[0.0], mids, [total]])
         pts_v = np.concatenate([[self.vmin], self.means, [self.vmax]])
         j = int(np.searchsorted(pts_v, x))

@@ -18,7 +18,6 @@ merge is order-independent, unlike exact windowed aggregation).
 
 from __future__ import annotations
 
-import json
 import os
 import pickle
 import tempfile
@@ -40,26 +39,21 @@ class SketchStateStore:
         self.state_dir = state_dir
         os.makedirs(state_dir, exist_ok=True)
         self._path = os.path.join(state_dir, "state.pkl")
-        self._meta = os.path.join(state_dir, "meta.json")
 
     def load(self) -> tuple[dict, int]:
         if not os.path.exists(self._path):
             return {}, -1
         with open(self._path, "rb") as f:
-            states = pickle.load(f)
-        with open(self._meta) as f:
-            last_batch = json.load(f)["last_batch_id"]
-        return states, last_batch
+            snapshot = pickle.load(f)
+        return snapshot["states"], snapshot["last_batch_id"]
 
     def save(self, states: dict, batch_id: int) -> None:
+        # single atomic replace: states and the batch id must commit
+        # together or a crash between them double-merges the replayed batch
         fd, tmp = tempfile.mkstemp(dir=self.state_dir)
         with os.fdopen(fd, "wb") as f:
-            pickle.dump(states, f)
+            pickle.dump({"states": states, "last_batch_id": batch_id}, f)
         os.replace(tmp, self._path)
-        fd, tmp = tempfile.mkstemp(dir=self.state_dir)
-        with os.fdopen(fd, "w") as f:
-            json.dump({"last_batch_id": batch_id}, f)
-        os.replace(tmp, self._meta)
 
     def sketches(self, specs: list[SketchSpec], group: tuple = ()) -> dict:
         states, _ = self.load()
@@ -164,8 +158,9 @@ def stateful_grouped_stream_df(
     spec_cols, col_map = plan_columns(specs)
     prepared = sdf.select(*[F.col(c) for c in group_cols], *spec_cols)
 
+    group_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
     out_schema = ", ".join(
-        [f"{c} string" for c in group_cols]
+        [f"{c} {group_types[c]}" for c in group_cols]
         + ["n_rows long"]
         + [f"{s.state_col} binary" for s in specs]
     )

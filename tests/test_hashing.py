@@ -77,3 +77,19 @@ def test_xxhash64_matches_spark(spark):
         assert xxhash64_any(r.lv) % M == r.hl % M
         assert xxhash64_cols(r.sv) % M == r.hs % M
         assert xxhash64_cols(r.lv, r.sv) % M == r.hc % M
+
+
+def test_xxhash64_int32_path_matches_spark(spark):
+    """Spark hashes IntegerType through a 4-byte path — int_bytes=4 must
+    reproduce it (review finding: driver point queries over int32-keyed
+    builds used the long path and silently disagreed)."""
+    from pyspark.sql import functions as F
+
+    from probably_jl_spark.sketches.hashing import xxhash64_any
+
+    df = spark.createDataFrame([(7,), (-3,), (2**31 - 1,)], "iv: int")
+    rows = df.select("iv", F.xxhash64("iv").alias("h")).collect()
+    M = 2**64
+    for r in rows:
+        assert xxhash64_any(r.iv, int_bytes=4) % M == r.h % M
+        assert xxhash64_any(r.iv) % M != r.h % M  # long path differs

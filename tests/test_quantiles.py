@@ -163,3 +163,19 @@ def test_kll_serialization_roundtrip():
 def test_kll_merge_k_mismatch():
     with pytest.raises(ValueError):
         KLL(100).merge(KLL(200))
+
+
+def test_tdigest_nan_values_keep_weights_aligned():
+    """Review finding: NaN filtering must drop the matching weights too."""
+    td = TDigest(100)
+    td.update_values(np.array([1.0, np.nan, 3.0]), np.array([1.0, 5.0, 2.0]))
+    assert td.n == 3.0  # 1 + 2, not 1 + 5
+    assert td.quantile(0.99) == 3.0
+
+
+def test_hll_saturated_cardinality_no_crash():
+    from probably_jl_spark.sketches.hll import HyperLogLog
+
+    h = HyperLogLog(4)
+    h.registers.fill(61)  # q+1 at p=4: fully saturated -> estimate inf
+    assert h.cardinality() == (1 << 63) - 1
