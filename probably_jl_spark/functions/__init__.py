@@ -31,17 +31,19 @@ def estimate_cardinality(state) -> int:
     raise TypeError(f"no cardinality estimator for {type(sk).__name__}")
 
 
-def query_count(state, key) -> int:
+def query_count(state, key, int_bytes: int = 8) -> int:
+    """int_bytes=4 when the distributed build keyed on an int32 column."""
     sk = _materialize(state)
     if not isinstance(sk, CountMinSketch):
         raise TypeError("query_count expects a count-min state")
-    return sk.query(key)
+    return sk.query(key, int_bytes)
 
 
-def contains(state, key) -> bool:
+def contains(state, key, int_bytes: int = 8) -> bool:
+    """int_bytes=4 when the distributed build keyed on an int32 column."""
     sk = _materialize(state)
     if isinstance(sk, (BloomFilter, CuckooFilter)):
-        return sk.contains(key)
+        return sk.contains(key, int_bytes)
     raise TypeError("contains expects a Bloom or cuckoo state")
 
 

@@ -76,13 +76,14 @@ class BloomFilter:
         np.bitwise_or.at(self.words, word, bit)
 
     # -------------------------------------------------------------- query
-    def _bit_positions(self, key) -> list[int]:
-        h0 = xxhash64_any(key)
+    def _bit_positions(self, key, int_bytes: int = 8) -> list[int]:
+        h0 = xxhash64_any(key, int_bytes=int_bytes)
         return [mix64_scalar(h0, SALT_BLOOM + t) % self.m for t in range(self.k)]
 
-    def contains(self, key) -> bool:
+    def contains(self, key, int_bytes: int = 8) -> bool:
+        """int_bytes=4 when the build keyed on an int32 column (hashing.py)."""
         return all(
-            (int(self.words[i >> 6]) >> (i & 63)) & 1 for i in self._bit_positions(key)
+            (int(self.words[i >> 6]) >> (i & 63)) & 1 for i in self._bit_positions(key, int_bytes)
         )
 
     def contains_hashes(self, h: np.ndarray) -> np.ndarray:

@@ -109,17 +109,18 @@ class CountMinSketch:
             self.table[t] = wide.astype(self.dtype)
 
     # -------------------------------------------------------------- query
-    def _indices_for_key(self, key) -> list[int]:
-        h0 = xxhash64_any(key)
+    def _indices_for_key(self, key, int_bytes: int = 8) -> list[int]:
+        h0 = xxhash64_any(key, int_bytes=int_bytes)
         out = []
         for t in range(self.depth):
             ht = h0 if t == 0 else mix64_scalar(h0, SALT_CMS + t)
             out.append(ht % self.width)
         return out
 
-    def query(self, key) -> int:
-        """Point query: min over tables (reference getindex, sketch.jl:202-211)."""
-        return int(min(self.table[t, i] for t, i in enumerate(self._indices_for_key(key))))
+    def query(self, key, int_bytes: int = 8) -> int:
+        """Point query: min over tables (reference getindex, sketch.jl:202-211).
+        int_bytes=4 when the build keyed on an int32 column (hashing.py)."""
+        return int(min(self.table[t, i] for t, i in enumerate(self._indices_for_key(key, int_bytes))))
 
     def query_hashes(self, h: np.ndarray) -> np.ndarray:
         """Vectorized point queries for a batch of uint64 item hashes."""
@@ -132,8 +133,8 @@ class CountMinSketch:
             est = vals if est is None else np.minimum(est, vals)
         return est.astype(np.uint64)
 
-    def haskey(self, key) -> bool:
-        return self.query(key) > 0  # reference sketch.jl:114
+    def haskey(self, key, int_bytes: int = 8) -> bool:
+        return self.query(key, int_bytes) > 0  # reference sketch.jl:114
 
     # -------------------------------------------------------------- merge
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":

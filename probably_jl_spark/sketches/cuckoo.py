@@ -177,8 +177,8 @@ class CuckooFilter:
         fp = self.fingerprint_scalar(h)
         return self.push_fp(fp, h & self.mask)
 
-    def push(self, key) -> bool:
-        return self.push_hash(xxhash64_any(key))
+    def push(self, key, int_bytes: int = 8) -> bool:
+        return self.push_hash(xxhash64_any(key, int_bytes=int_bytes))
 
     def update_hashes(self, h: np.ndarray) -> bool:
         """Batch insert of uint64 item hashes. Fingerprint/index derivation
@@ -210,8 +210,9 @@ class CuckooFilter:
     def contains_hash(self, h: int) -> bool:
         return self.contains_fp(self.fingerprint_scalar(h), h & self.mask)
 
-    def contains(self, key) -> bool:
-        return self.contains_hash(xxhash64_any(key))
+    def contains(self, key, int_bytes: int = 8) -> bool:
+        """int_bytes=4 when the build keyed on an int32 column (hashing.py)."""
+        return self.contains_hash(xxhash64_any(key, int_bytes=int_bytes))
 
     def contains_hashes(self, h: np.ndarray) -> np.ndarray:
         """Vectorized membership: expand each bucket word into 4 slots and
@@ -248,8 +249,8 @@ class CuckooFilter:
                 pass  # push_fp re-closed it; state remains consistent
         return removed
 
-    def pop(self, key) -> bool:
-        return self.pop_hash(xxhash64_any(key))
+    def pop(self, key, int_bytes: int = 8) -> bool:
+        return self.pop_hash(xxhash64_any(key, int_bytes=int_bytes))
 
     # ------------------------------------------------------------- merge
     def merge(self, other: "CuckooFilter") -> tuple["CuckooFilter", bool]:
