@@ -26,8 +26,8 @@ from ..sketches.kll import KLL
 from ..sketches.tdigest import TDigest
 from ..sketches import codec
 
-KINDS = ("hll", "cms", "bloom", "cuckoo", "tdigest", "kll")
-_HASH_KINDS = ("hll", "cms", "bloom", "cuckoo")
+KINDS = ("hll", "cms", "bloom", "cuckoo", "smallcuckoo", "tdigest", "kll")
+_HASH_KINDS = ("hll", "cms", "bloom", "cuckoo", "smallcuckoo")
 
 
 @dataclass(frozen=True)
@@ -76,6 +76,10 @@ class SketchSpec:
             return BloomFilter(p.get("m", 1 << 20), p.get("k", 5))
         if self.kind == "cuckoo":
             return CuckooFilter(p.get("len", 1 << 16), p.get("f", 12))
+        if self.kind == "smallcuckoo":
+            from ..sketches.smallcuckoo import SmallCuckooFilter
+
+            return SmallCuckooFilter(p.get("len", 1 << 16), p.get("f", 12))
         if self.kind == "tdigest":
             return TDigest(p.get("delta", 200.0))
         return KLL(p.get("k", 200))
@@ -100,8 +104,14 @@ _DECODERS = {
 
 
 def sketch_from_bytes(blob: bytes):
-    """Decode any sketch blob by its codec kind byte."""
-    return _DECODERS[codec.peek_kind(blob)](bytes(blob))
+    """Decode any sketch blob by its codec kind byte (cuckoo v2 = the
+    semisort-compressed SmallCuckoo wire format)."""
+    kind = codec.peek_kind(blob)
+    if kind == codec.KIND_CUCKOO and codec.peek_version(blob) == 2:
+        from ..sketches.smallcuckoo import SmallCuckooFilter
+
+        return SmallCuckooFilter.from_bytes(bytes(blob))
+    return _DECODERS[kind](bytes(blob))
 
 
 def merge_blobs(a: bytes | None, b: bytes | None) -> bytes | None:

@@ -30,7 +30,7 @@ def wrap(kind: int, header: bytes, payload: bytes, version: int = 1) -> bytes:
     return _PREFIX.pack(MAGIC, kind, version, len(header)) + header + payload
 
 
-def unwrap(data: bytes, expected_kind: int) -> tuple[bytes, bytes]:
+def unwrap(data: bytes, expected_kind: int, expected_version: int = 1) -> tuple[bytes, bytes]:
     if len(data) < _PREFIX.size:
         raise ValueError(f"sketch blob too short ({len(data)} bytes)")
     magic, kind, version, hlen = _PREFIX.unpack_from(data, 0)
@@ -38,8 +38,8 @@ def unwrap(data: bytes, expected_kind: int) -> tuple[bytes, bytes]:
         raise ValueError(f"bad magic {magic!r}")
     if kind != expected_kind:
         raise ValueError(f"expected sketch kind {expected_kind}, got {kind}")
-    if version != 1:
-        raise ValueError(f"unsupported version {version}")
+    if version != expected_version:
+        raise ValueError(f"expected version {expected_version}, got {version}")
     off = _PREFIX.size
     return data[off : off + hlen], data[off + hlen :]
 
@@ -49,3 +49,10 @@ def peek_kind(data: bytes) -> int:
     if magic != MAGIC:
         raise ValueError(f"bad magic {magic!r}")
     return kind
+
+
+def peek_version(data: bytes) -> int:
+    magic, _, version, _ = _PREFIX.unpack_from(data, 0)
+    if magic != MAGIC:
+        raise ValueError(f"bad magic {magic!r}")
+    return version
