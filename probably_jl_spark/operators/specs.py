@@ -20,7 +20,7 @@ import numpy as np
 
 from ..sketches.bloom import BloomFilter
 from ..sketches.cms import CountMinSketch
-from ..sketches.cuckoo import CuckooFilter
+from ..sketches.cuckoo import CuckooFilter, CuckooOverflowError
 from ..sketches.hll import HyperLogLog
 from ..sketches.kll import KLL
 from ..sketches.tdigest import TDigest
@@ -90,7 +90,18 @@ class SketchSpec:
         elif self.kind == "cms":
             sketch.update_hashes(h, counts)
         else:
-            sketch.update_hashes(h)
+            ok = sketch.update_hashes(h)
+            # cuckoo is the only kind whose insert can fail: once the
+            # filter closes, dropped items would become false negatives.
+            # Fail the task loudly instead of shipping a lossy state
+            # (reference push! returns false, filter.jl:381-385).
+            if ok is False and self.kind in ("cuckoo", "smallcuckoo"):
+                raise CuckooOverflowError(
+                    f"cuckoo spec {self.name!r} overflowed during build "
+                    f"(len={4 * sketch.nbuckets}, f={sketch.f}): items were "
+                    "rejected after the filter closed. Size it up via "
+                    "constrain_cuckoo(fpr=..., capacity=...)."
+                )
 
 
 _DECODERS = {
@@ -116,7 +127,12 @@ def sketch_from_bytes(blob: bytes):
 
 def merge_blobs(a: bytes | None, b: bytes | None) -> bytes | None:
     """Merge two serialized states (either may be None = identity).
-    Used by treeReduce over partial-state rows."""
+    Used by treeReduce over partial-state rows.
+
+    Cuckoo merges can fail (reference union! returns (dst, false),
+    filter.jl:464-496): when the destination closes mid-merge, the
+    remaining source fingerprints are LOST — silent false negatives.
+    That is a sizing error, so it raises instead of degrading."""
     if a is None:
         return b
     if b is None:
@@ -125,5 +141,12 @@ def merge_blobs(a: bytes | None, b: bytes | None) -> bytes | None:
     sb = sketch_from_bytes(b)
     merged = sa.merge(sb)
     if isinstance(merged, tuple):  # cuckoo returns (filter, ok)
-        merged = merged[0]
+        merged, ok = merged
+        if not ok:
+            raise CuckooOverflowError(
+                f"cuckoo merge overflowed (len={4 * merged.nbuckets}, "
+                f"f={merged.f}): the union of the two states exceeds "
+                "capacity, so fingerprints were dropped. Size the filter "
+                "for the UNION cardinality via constrain_cuckoo."
+            )
     return merged.to_bytes()

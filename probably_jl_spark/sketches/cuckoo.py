@@ -13,15 +13,15 @@ Fan et al. paper (filter.jl:1-58); we keep all three:
    (filter.jl:446-452);
 3. set semantics — an item is stored at most once (filter.jl:28-31).
 
-Layout decision (SURVEY.md §2.4): the reference ships two bit-packed
-layouts (FastCuckoo raw / SmallCuckoo semi-sorted, filter.jl:41-58). We
-implement only the Fast layout with one uint64 word per 4-slot bucket
-(F <= 16 bits per fingerprint) — the SmallCuckoo 1-bit-per-fp saving is a
-CPU/RAM trade, not a semantic feature, and Spark state is already compact
-binary. Unlike the reference's ``rand(1:4)`` kick-slot choice
-(filter.jl:367), eviction slots come from a counter-based deterministic
-mix so distributed builds are reproducible and resumable (SURVEY.md §7
-risk register).
+Layout (SURVEY.md §2.4): the full reference fingerprint range F in 4..32
+(filter.jl:77-129) is supported. Each 4-slot bucket is stored in one
+uint64 word for F <= 16 and two words for F in 17..32 (slot s occupies
+bits [s*F, (s+1)*F), possibly spanning the word boundary — mirrors the
+reference's bit-packed UInt128 buckets, filter.jl:267-325, without
+transliterating them). Unlike the reference's ``rand(1:4)`` kick-slot
+choice (filter.jl:367), eviction slots come from a counter-based
+deterministic mix so distributed builds are reproducible and resumable
+(SURVEY.md §7 risk register).
 
 The kick loop is inherently sequential per filter (mutating evictions), so
 batch insert vectorizes fingerprint/index derivation and dedup, and loops
@@ -31,7 +31,6 @@ only over unique unseen items; deletion-heavy workloads stay driver-side
 
 from __future__ import annotations
 
-import math
 import struct
 from dataclasses import dataclass
 
@@ -39,6 +38,7 @@ import numpy as np
 
 from . import codec
 from .hashing import (
+    MASK64,
     SALT_CUCKOO_ALT,
     SALT_CUCKOO_FP,
     mix64,
@@ -51,8 +51,24 @@ MAX_KICKS = 512  # reference filter.jl:65
 _HDR = struct.Struct("<BQQQ")  # F, nbuckets, ejected_fp, ejected_index
 
 
+class CuckooOverflowError(RuntimeError):
+    """A cuckoo filter closed (insert failed after MAX_KICKS) and further
+    items could not be stored — continuing would break the
+    no-false-negative contract. Resize via ``constrain_cuckoo``."""
+
+
 class CuckooFilter:
-    __slots__ = ("f", "nbuckets", "mask", "fpmask", "buckets", "ejected", "ejected_index", "_kick_counter")
+    __slots__ = (
+        "f",
+        "nbuckets",
+        "wpb",
+        "mask",
+        "fpmask",
+        "buckets",
+        "ejected",
+        "ejected_index",
+        "_kick_counter",
+    )
 
     def __init__(
         self,
@@ -63,19 +79,25 @@ class CuckooFilter:
         ejected_index: int = 0,
     ):
         # reference constraints: len a power of two >= 4 (filter.jl:94-101),
-        # F in 4..32 for Fast; our uint64 layout needs F <= 16.
+        # F in 4..32 for the Fast layout (filter.jl:77-129).
         if len_slots < 4 or len_slots & (len_slots - 1):
             raise ValueError("len must be a power of two >= 4")
-        if not 4 <= f <= 16:
-            raise ValueError("f must be in 4..16 (uint64 bucket layout)")
+        if not 4 <= f <= 32:
+            raise ValueError("f must be in 4..32")
         self.f = f
         self.nbuckets = len_slots // 4
+        self.wpb = 1 if f <= 16 else 2  # uint64 words per 4-slot bucket
         self.mask = self.nbuckets - 1
         self.fpmask = (1 << f) - 1
         if buckets is None:
-            buckets = np.zeros(self.nbuckets, dtype=np.uint64)
-        elif buckets.shape != (self.nbuckets,) or buckets.dtype != np.uint64:
-            raise ValueError("buckets shape/dtype mismatch")
+            buckets = np.zeros((self.nbuckets, self.wpb), dtype=np.uint64)
+        else:
+            if buckets.dtype != np.uint64:
+                raise ValueError("buckets dtype must be uint64")
+            if buckets.shape == (self.nbuckets,) and self.wpb == 1:
+                buckets = buckets.reshape(self.nbuckets, 1)
+            if buckets.shape != (self.nbuckets, self.wpb):
+                raise ValueError("buckets shape mismatch")
         self.buckets = buckets
         self.ejected = ejected  # nonzero fp => filter is closed
         self.ejected_index = ejected_index
@@ -114,8 +136,19 @@ class CuckooFilter:
         return index ^ (mix64_scalar(int(fp), SALT_CUCKOO_ALT) & self.mask)
 
     # --------------------------------------------------------- bucket ops
+    def _get_bucket(self, b: int) -> int:
+        """Whole 4-slot bucket as a Python int (up to 128 bits)."""
+        if self.wpb == 1:
+            return int(self.buckets[b, 0])
+        return int(self.buckets[b, 0]) | (int(self.buckets[b, 1]) << 64)
+
+    def _set_bucket(self, b: int, w: int) -> None:
+        self.buckets[b, 0] = _U(w & MASK64)
+        if self.wpb == 2:
+            self.buckets[b, 1] = _U((w >> 64) & MASK64)
+
     def _bucket_slots(self, b: int) -> list[int]:
-        w = int(self.buckets[b])
+        w = self._get_bucket(b)
         return [(w >> (s * self.f)) & self.fpmask for s in range(4)]
 
     def _bucket_contains(self, b: int, fp: int) -> bool:
@@ -124,28 +157,28 @@ class CuckooFilter:
     def _bucket_put(self, b: int, fp: int) -> bool:
         """Insert fp into first empty slot of bucket b (reference
         putinbucket!, bucket.jl:171-191)."""
-        w = int(self.buckets[b])
+        w = self._get_bucket(b)
         for s in range(4):
             if (w >> (s * self.f)) & self.fpmask == 0:
-                self.buckets[b] = _U(w | (fp << (s * self.f)))
+                self._set_bucket(b, w | (fp << (s * self.f)))
                 return True
         return False
 
     def _bucket_remove(self, b: int, fp: int) -> bool:
-        w = int(self.buckets[b])
+        w = self._get_bucket(b)
         for s in range(4):
             if (w >> (s * self.f)) & self.fpmask == fp:
-                self.buckets[b] = _U(w & ~(self.fpmask << (s * self.f)))
+                self._set_bucket(b, w & ~(self.fpmask << (s * self.f)))
                 return True
         return False
 
     def _bucket_swap(self, b: int, fp: int, slot: int) -> int:
         """Evict the fingerprint in `slot`, store fp there (reference
         kick!, bucket.jl:195-203)."""
-        w = int(self.buckets[b])
+        w = self._get_bucket(b)
         old = (w >> (slot * self.f)) & self.fpmask
         w &= ~(self.fpmask << (slot * self.f))
-        self.buckets[b] = _U(w | (fp << (slot * self.f)))
+        self._set_bucket(b, w | (fp << (slot * self.f)))
         return old
 
     # -------------------------------------------------------------- push
@@ -191,8 +224,11 @@ class CuckooFilter:
         fp = self.fingerprints(h)
         i1 = self.primary_index(h)
         # set semantics: (fp, i1) fully determines the stored item
-        pair = fp * _U(self.nbuckets) + i1.astype(np.uint64)
-        _, first = np.unique(pair, return_index=True)
+        if self.f + self.nbuckets.bit_length() <= 64:
+            pair = fp * _U(self.nbuckets) + i1.astype(np.uint64)
+            _, first = np.unique(pair, return_index=True)
+        else:  # f=32 with huge filters: pair key would overflow uint64
+            _, first = np.unique(np.column_stack([fp, i1.view(np.uint64)]), axis=0, return_index=True)
         ok = True
         fpl = fp.tolist()
         i1l = i1.tolist()
@@ -201,6 +237,16 @@ class CuckooFilter:
         return ok
 
     # ------------------------------------------------------------- query
+    def _slot_vals(self, W: np.ndarray, s: int) -> np.ndarray:
+        """Slot-s fingerprints from bucket rows W (n, wpb): bits
+        [s*f, (s+1)*f) possibly spanning the uint64 word boundary."""
+        bitpos = s * self.f
+        wi, ofs = bitpos >> 6, bitpos & 63
+        val = W[:, wi] >> _U(ofs)
+        if ofs + self.f > 64:
+            val = val | (W[:, wi + 1] << _U(64 - ofs))
+        return val & _U(self.fpmask)
+
     def contains_fp(self, fp: int, i1: int) -> bool:
         if self.ejected and fp == self.ejected:
             # conservative: ejected check (reference in, filter.jl:402-419)
@@ -223,9 +269,9 @@ class CuckooFilter:
         i2 = self.other_index(i1, fp)
         out = np.zeros(h.size, dtype=bool)
         for idx in (i1, i2):
-            w = self.buckets[idx]
+            W = self.buckets[idx]
             for s in range(4):
-                out |= ((w >> _U(s * self.f)) & _U(self.fpmask)) == fp
+                out |= self._slot_vals(W, s) == fp
         if self.ejected:
             out |= fp == _U(self.ejected)
         return out
@@ -262,9 +308,9 @@ class CuckooFilter:
         if (self.f, self.nbuckets) != (other.f, other.nbuckets):
             raise ValueError("cuckoo parameter mismatch in merge")
         ok = True
-        nonzero = np.flatnonzero(other.buckets)
+        nonzero = np.flatnonzero(other.buckets.any(axis=1))
         for b in nonzero.tolist():
-            w = int(other.buckets[b])
+            w = other._get_bucket(b)
             for s in range(4):
                 fp = (w >> (s * self.f)) & self.fpmask
                 if fp:
@@ -277,7 +323,7 @@ class CuckooFilter:
     def loadfactor(self) -> float:
         used = 0
         for s in range(4):
-            used += int((((self.buckets >> _U(s * self.f)) & _U(self.fpmask)) != 0).sum())
+            used += int((self._slot_vals(self.buckets, s) != 0).sum())
         return used / (4 * self.nbuckets)
 
     def capacity(self) -> int:
@@ -285,7 +331,7 @@ class CuckooFilter:
 
     def stats(self) -> dict:
         """Summary stats (reference stats(), filter.jl:549-555): occupancy,
-        capacity, memory, closed-state, expected FPR at current load."""
+        capacity, memory, closed-state, expected FPR."""
         return {
             "f_bits": self.f,
             "nbuckets": self.nbuckets,
@@ -299,9 +345,11 @@ class CuckooFilter:
         }
 
     def fprof(self) -> float:
-        """Closed-form false-positive probability at current load
-        (reference filter.jl:524-533 shape: ~ 8*lf / 2^F)."""
-        return min(1.0, 8.0 * self.loadfactor() / (1 << self.f))
+        """False-positive probability of a fully-filled filter — the
+        reference's exact closed-form (filter.jl:524-533): a probe misses
+        iff its fingerprint avoids the ejected slot and all 4 (distinct)
+        fingerprints of each of its two candidate buckets."""
+        return fprof(self.f)
 
     def is_empty(self) -> bool:
         return not self.buckets.any() and not self.ejected
@@ -312,7 +360,11 @@ class CuckooFilter:
         self.ejected_index = 0
 
     def copy(self) -> "CuckooFilter":
-        return CuckooFilter(self.nbuckets * 4, self.f, self.buckets.copy(), self.ejected, self.ejected_index)
+        # type(self), not CuckooFilter: subclasses (SmallCuckooFilter)
+        # must keep their serialization format through copy()
+        return type(self)(
+            self.nbuckets * 4, self.f, self.buckets.copy(), self.ejected, self.ejected_index
+        )
 
     def __eq__(self, other) -> bool:
         return (
@@ -335,8 +387,30 @@ class CuckooFilter:
     def from_bytes(cls, data: bytes) -> "CuckooFilter":
         header, payload = codec.unwrap(data, codec.KIND_CUCKOO)
         f, nbuckets, ej, eji = _HDR.unpack(header)
-        buckets = np.frombuffer(payload, dtype=np.uint64).copy()
+        wpb = 1 if f <= 16 else 2
+        buckets = np.frombuffer(payload, dtype=np.uint64).reshape(nbuckets, wpb).copy()
         return cls(nbuckets * 4, f, buckets, ej, eji)
+
+
+def fprof(f_bits: int) -> float:
+    """Exact full-filter FPR for fingerprint width F
+    (reference fprof, filter.jl:524-533)."""
+    m = 1 << f_bits
+    prob_avoid_ejected = (m - 2) / (m - 1)
+    prob_avoid_bucket = 1.0
+    # not ((m-1)/m)^4: the 4 fingerprints in one bucket are distinct
+    for i in range(1, 5):
+        prob_avoid_bucket *= (m - 1 - i) / (m - i)
+    return 1.0 - prob_avoid_ejected * prob_avoid_bucket * prob_avoid_bucket
+
+
+def minimal_f(fpr: float) -> int:
+    """Smallest F in 4..32 whose full-filter FPR beats `fpr`
+    (reference minimal_f, filter.jl:536-547)."""
+    for f_bits in range(4, 33):
+        if fprof(f_bits) < fpr:
+            return f_bits
+    raise ValueError("Too low FPR: not reachable with F <= 32")
 
 
 @dataclass
@@ -348,42 +422,45 @@ class CuckooPlan:
     capacity: int
 
 
+def _bytes_per_slot(f: int) -> int:
+    return 2 if f <= 16 else 4  # 1 or 2 uint64 words per 4-slot bucket
+
+
 def constrain_cuckoo(
     fpr: float | None = None,
     memory: int | None = None,
     capacity: int | None = None,
 ) -> CuckooPlan:
     """Sizing planner (reference constrain(<:AbstractCuckooFilter; ...),
-    filter.jl:536-630): minimal F for the target fpr via
-    fpr ~= 8/2^F at 95% load, len the next power of two holding
-    capacity/0.95 slots."""
+    filter.jl:536-630): minimal F for the target full-filter FPR via the
+    exact fprof formula, len the next power of two holding capacity/0.95
+    slots."""
     given = [fpr is not None, memory is not None, capacity is not None]
     if sum(given) != 2:
         raise ValueError("exactly two of fpr/memory/capacity must be given")
 
-    def f_for(fpr_target: float) -> int:
-        f = max(4, int(math.ceil(math.log2(8.0 / fpr_target))))
-        return min(16, f)
+    import math
 
     def pow2_at_least(x: float) -> int:
         return 1 << max(2, int(math.ceil(math.log2(max(4.0, x)))))
 
     if fpr is not None and capacity is not None:
-        f = f_for(fpr)
+        f = minimal_f(fpr)
         len_slots = pow2_at_least(capacity / 0.95)
     elif fpr is not None and memory is not None:
-        f = f_for(fpr)
-        # one uint64 per 4-slot bucket => 2 bytes/slot in our layout
-        len_slots = pow2_at_least(memory / 2)
+        f = minimal_f(fpr)
+        len_slots = pow2_at_least(memory / _bytes_per_slot(f))
         capacity = int(0.95 * len_slots)
     else:  # memory + capacity
-        len_slots = pow2_at_least(max(capacity / 0.95, memory / 2))
-        f = 16
-    achieved = min(1.0, 8.0 * 0.95 / (1 << f))
+        len_slots = pow2_at_least(capacity / 0.95)
+        # widest fingerprint the remaining byte budget allows
+        f = 32 if memory >= len_slots * _bytes_per_slot(32) else 16
+        if memory < len_slots * _bytes_per_slot(f):
+            len_slots = pow2_at_least(max(capacity / 0.95, 4.0))
     return CuckooPlan(
         len_slots=len_slots,
         f=f,
-        fpr=achieved,
-        memory_bytes=(len_slots // 4) * 8,
+        fpr=fprof(f),
+        memory_bytes=(len_slots // 4) * 8 * (1 if f <= 16 else 2),
         capacity=int(0.95 * len_slots),
     )

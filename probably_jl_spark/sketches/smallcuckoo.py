@@ -25,6 +25,11 @@ bits instead of 4f. That is the same 4-bits-per-bucket saving as the
 reference, paid at (de)serialization time instead of on every probe —
 mirroring the reference's own speed/space framing (FastCuckoo ~2.5x
 faster, SmallCuckoo ~10% smaller, docs/src/cuckoo.md:35).
+
+The codec is linear: for f <= 16 (codes fit uint64) both directions are
+fully vectorized numpy bit-matrix packs; for f in 17..32 a streaming
+big-int path with a *bounded* accumulator encodes, and per-bucket byte
+windows decode (never one whole-payload integer — that was O(n^2)).
 """
 
 from __future__ import annotations
@@ -37,10 +42,13 @@ import numpy as np
 from . import codec
 from .cuckoo import CuckooFilter
 
+_U = np.uint64
 _HDR = struct.Struct("<BQQQ")  # same params as CuckooFilter
 
 # binomial table C(n, k) for n<=19, k<=4 — tiny, computed at import
 _C = [[math.comb(n, k) for k in range(5)] for n in range(20)]
+# per-k numpy columns for the vectorized (un)rank
+_CK = {k: np.array([_C[n][k] for n in range(20)], dtype=np.int64) for k in range(1, 5)}
 
 N_PREFIX_CODES = _C[19][4]  # 3876 non-decreasing nibble 4-tuples
 
@@ -49,7 +57,6 @@ def prefix_rank(nibbles: tuple[int, int, int, int]) -> int:
     """Combinadic rank of a non-decreasing 4-tuple of values in 0..15."""
     a, b, c, d = nibbles
     return _C[a][1] + _C[b + 1][2] + _C[c + 2][3] + _C[d + 3][4]
-
 
 def prefix_unrank(rank: int) -> tuple[int, int, int, int]:
     """Inverse of prefix_rank (greedy combinadic decoding)."""
@@ -89,6 +96,53 @@ def decode_bucket(code: int, f: int) -> list[int]:
     return [(n << low_bits) | lo for n, lo in zip(nibbles, lows)]
 
 
+def _encode_codes_u64(filt: CuckooFilter) -> np.ndarray:
+    """Vectorized per-bucket semisort codes for f <= 16 (code <= 60 bits)."""
+    f = filt.f
+    low_bits = f - 4
+    W = filt.buckets[:, 0]
+    fps = np.stack([(W >> _U(s * f)) & _U(filt.fpmask) for s in range(4)], axis=1)
+    fps.sort(axis=1)
+    nib = (fps >> _U(low_bits)).astype(np.int64)
+    code = (
+        _CK[1][nib[:, 0]]
+        + _CK[2][nib[:, 1] + 1]
+        + _CK[3][nib[:, 2] + 2]
+        + _CK[4][nib[:, 3] + 3]
+    ).astype(np.uint64)
+    lowmask = _U((1 << low_bits) - 1)
+    for s in range(4):
+        code = (code << _U(low_bits)) | (fps[:, s] & lowmask)
+    return code
+
+
+def _decode_codes_u64(codes: np.ndarray, f: int, nbuckets: int) -> np.ndarray:
+    """Vectorized inverse: (nbuckets,) codes -> (nbuckets, 1) bucket words."""
+    low_bits = f - 4
+    lowmask = _U((1 << low_bits) - 1)
+    lows = np.empty((nbuckets, 4), dtype=np.uint64)
+    for s in (3, 2, 1, 0):
+        lows[:, s] = codes & lowmask
+        codes = codes >> _U(low_bits)
+    rest = codes.astype(np.int64)
+    raw = np.empty((nbuckets, 4), dtype=np.int64)
+    for j, k in enumerate((4, 3, 2, 1)):
+        x = np.searchsorted(_CK[k], rest, side="right") - 1
+        raw[:, j] = x
+        rest = rest - _CK[k][x]
+    # raw columns are (d+3, c+2, b+1, a) -> nibbles in slot order a..d
+    nib = np.empty((nbuckets, 4), dtype=np.uint64)
+    nib[:, 0] = raw[:, 3].astype(np.uint64)
+    nib[:, 1] = (raw[:, 2] - 1).astype(np.uint64)
+    nib[:, 2] = (raw[:, 1] - 2).astype(np.uint64)
+    nib[:, 3] = (raw[:, 0] - 3).astype(np.uint64)
+    W = np.zeros(nbuckets, dtype=np.uint64)
+    for s in range(4):
+        fp = (nib[:, s] << _U(low_bits)) | lows[:, s]
+        W |= fp << _U(s * f)
+    return W.reshape(nbuckets, 1)
+
+
 class SmallCuckooFilter(CuckooFilter):
     """CuckooFilter with semisorted-compressed serialization: identical
     membership/insert/delete semantics and in-memory layout (buckets are
@@ -99,11 +153,19 @@ class SmallCuckooFilter(CuckooFilter):
         f = self.f
         bits_per = 12 + 4 * (f - 4)
         hdr = _HDR.pack(f, self.nbuckets, self.ejected, self.ejected_index)
+        if f <= 16:
+            codes = _encode_codes_u64(self)
+            shifts = np.arange(bits_per - 1, -1, -1, dtype=np.uint64)
+            bits = ((codes[:, None] >> shifts) & _U(1)).astype(np.uint8)
+            out = np.packbits(bits.ravel()).tobytes()
+            return codec.wrap(codec.KIND_CUCKOO, hdr, out, version=2)
+        # f in 17..32: streaming big-int pack with a bounded accumulator
         acc = 0
         acc_bits = 0
         out = bytearray()
         fpmask = self.fpmask
-        for w in self.buckets.tolist():
+        for b in range(self.nbuckets):
+            w = self._get_bucket(b)
             fps = [(w >> (s * f)) & fpmask for s in range(4)]
             nbits, code = encode_bucket(fps, f)
             acc = (acc << nbits) | code
@@ -111,9 +173,9 @@ class SmallCuckooFilter(CuckooFilter):
             while acc_bits >= 8:
                 acc_bits -= 8
                 out.append((acc >> acc_bits) & 0xFF)
+            acc &= (1 << acc_bits) - 1  # keep the accumulator tiny (O(1))
         if acc_bits:
             out.append((acc << (8 - acc_bits)) & 0xFF)
-        assert bits_per * self.nbuckets <= len(out) * 8
         return codec.wrap(codec.KIND_CUCKOO, hdr, bytes(out), version=2)
 
     @classmethod
@@ -121,21 +183,30 @@ class SmallCuckooFilter(CuckooFilter):
         header, payload = codec.unwrap(data, codec.KIND_CUCKOO, expected_version=2)
         f, nbuckets, ej, eji = _HDR.unpack(header)
         bits_per = 12 + 4 * (f - 4)
-        buckets = np.zeros(nbuckets, dtype=np.uint64)
-        stream = int.from_bytes(payload, "big")
-        total_bits = len(payload) * 8
-        pos = 0
+        if f <= 16:
+            raw = np.unpackbits(np.frombuffer(payload, dtype=np.uint8))
+            bits = raw[: nbuckets * bits_per].reshape(nbuckets, bits_per).astype(np.uint64)
+            shifts = np.arange(bits_per - 1, -1, -1, dtype=np.uint64)
+            codes = (bits << shifts).sum(axis=1, dtype=np.uint64)
+            buckets = _decode_codes_u64(codes, f, nbuckets)
+            return cls(nbuckets * 4, f, buckets, ej, eji)
+        # f in 17..32: decode each bucket from its own byte window
+        wpb = 2
+        buckets = np.zeros((nbuckets, wpb), dtype=np.uint64)
+        mask = (1 << bits_per) - 1
         for b in range(nbuckets):
-            shift = total_bits - pos - bits_per
-            code = (stream >> shift) & ((1 << bits_per) - 1)
+            start = b * bits_per
+            sb, eb = start >> 3, (start + bits_per + 7) >> 3
+            chunk = int.from_bytes(payload[sb:eb], "big")
+            code = (chunk >> (eb * 8 - start - bits_per)) & mask
             fps = decode_bucket(code, f)
             w = 0
             # re-place fingerprints in sorted order; buckets are sets so
             # slot order is not semantic (set semantics, filter.jl:28-31)
             for s, fp in enumerate(fps):
                 w |= fp << (s * f)
-            buckets[b] = w
-            pos += bits_per
+            buckets[b, 0] = w & 0xFFFFFFFFFFFFFFFF
+            buckets[b, 1] = (w >> 64) & 0xFFFFFFFFFFFFFFFF
         return cls(nbuckets * 4, f, buckets, ej, eji)
 
     def sizeof_serialized_bits(self) -> int:
