@@ -1,24 +1,39 @@
-"""Grouped sketches with explicit skew handling (north_rule).
+"""Grouped sketches built as streaming partition-local partials
+(north_rule skew handling).
 
 Per-group sketches (e.g. distinct conv_ids per tool, turn-length digest
-per role) are a shuffle on the group key. Two strategies:
+per role) never materialize a group's rows. Stage 1 is a ``mapInPandas``
+pass identical in shape to the global build (build.py): each input
+partition keeps a ``{group-key -> sketch}`` dict, updates it per Arrow
+batch with vectorized kernels, and emits one small *state* row per
+(partition, key). Stage 2 shuffles only those serialized states (KBs per
+group) and merges them per key — correct because every sketch merge is
+commutative + associative (SURVEY.md §4.2).
 
-* ``grouped_sketch(..., salt_buckets=1)`` — plain two-phase: partition-
-  local partial build happens inside ``applyInPandas`` after one hash
-  shuffle on the key.
-* ``salt_buckets=S > 1`` — **salted two-level aggregation** for skewed
-  keys (few huge conversations, FIXTURES.md §1): stage 1 groups on
-  ``(key, pmod(xxhash64(salt_cols), S))`` so one hot key spreads over S
-  reducers; stage 2 merges the S partial states per key. Correct because
-  every sketch merge is commutative + associative (SURVEY.md §4.2).
+Why this shape at 100 TB (VERDICT r01 "What's wrong #2"): the previous
+``groupBy(key).applyInPandas`` loaded an entire group into one pandas
+frame — a billion-row hot key was a straight executor OOM. Here a hot key
+costs one sketch per partition, and rows never shuffle at all.
 
-Both stages stay Arrow-vectorized; the second stage moves only tiny
-serialized states (KBs per group), not rows.
+Skew/fan-in controls:
+
+* ``max_states_per_partition`` bounds stage-1 memory on high-cardinality
+  keys (per-user sketches): when the dict exceeds the cap, partials are
+  flushed mid-partition and rebuilt — merges make that lossless.
+* ``salt_buckets=S > 1`` bounds stage-2 fan-in on huge clusters: states
+  first merge on ``(key, partition_id mod S)``, then the S survivors merge
+  per key — two state shuffles, never row shuffles. (Row-level salting is
+  obsolete in this design; ``salt_cols`` is accepted for API compatibility
+  and ignored.)
+
+Merges apply in ascending partition-id order, so grouped states are
+deterministic across identical runs even for merge-order-sensitive kinds
+(t-digest/KLL) — the checkpoint resume law (plans/checkpoint.py) depends
+on this.
 """
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -28,35 +43,82 @@ from .build import batch_arrays, plan_columns
 from .specs import SketchSpec, merge_blobs
 
 _SALT_COL = "__salt"
+_ORD_COL = "__ord"  # min partition id feeding a state row: merge sort key
 _NROWS_COL = "n_rows"
 
 
-def _grouped_schema(df: DataFrame, group_cols: list[str], specs: list[SketchSpec]) -> StructType:
+def _grouped_schema(
+    df: DataFrame, group_cols: list[str], specs: list[SketchSpec], with_ord: bool = False
+) -> StructType:
     fields = [df.schema[c] for c in group_cols]
     fields = [StructField(f.name, f.dataType) for f in fields]
+    if with_ord:
+        fields.append(StructField(_ORD_COL, LongType()))
     fields.append(StructField(_NROWS_COL, LongType()))
     fields += [StructField(s.state_col, BinaryType()) for s in specs]
     return StructType(fields)
 
 
-def _build_group(specs: list[SketchSpec], group_cols: list[str], col_map: dict):
-    def fn(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        row = {c: k for c, k in zip(group_cols, keys)}
-        row[_NROWS_COL] = len(pdf)
-        arrays = batch_arrays(pdf, specs, col_map)
+def _partial_builder(specs: list[SketchSpec], group_cols: list[str], col_map: dict, cap: int):
+    """mapInPandas fn: streaming per-partition {key -> sketch} partials,
+    flushed when the dict exceeds `cap` keys (bounded memory)."""
+
+    def rows_frame(states: dict, ord_key: int) -> pd.DataFrame:
+        keys = list(states.keys())
+        data = {c: [k[i] for k in keys] for i, c in enumerate(group_cols)}
+        data[_ORD_COL] = [ord_key] * len(keys)
+        data[_NROWS_COL] = [states[k][0] for k in keys]
         for s in specs:
-            sk = s.new()
-            h, v, c = arrays[s.name]
-            s.update(sk, h, v, c)
-            row[s.state_col] = sk.to_bytes()
-        return pd.DataFrame([row])
+            data[s.state_col] = [states[k][1][s.name].to_bytes() for k in keys]
+        return pd.DataFrame(data)
+
+    def fn(batches):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        flush = 0  # ord = pid<<20 | flush: mid-partition flushes keep a
+        # total deterministic merge order even for the same (key, pid)
+        states: dict[tuple, list] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arrays = batch_arrays(pdf, specs, col_map)
+            groups = pdf.groupby(list(group_cols), dropna=False, sort=False).indices
+            for key, idx in groups.items():
+                kt = key if isinstance(key, tuple) else (key,)
+                ent = states.get(kt)
+                if ent is None:
+                    ent = states[kt] = [0, {s.name: s.new() for s in specs}]
+                ent[0] += len(idx)
+                for s in specs:
+                    h, v, c = arrays[s.name]
+                    s.update(
+                        ent[1][s.name],
+                        None if h is None else h[idx],
+                        None if v is None else v[idx],
+                        None if c is None else c[idx],
+                    )
+            if len(states) > cap:
+                yield rows_frame(states, (pid << 20) | flush)
+                flush += 1
+                states = {}
+        if states:
+            yield rows_frame(states, (pid << 20) | flush)
 
     return fn
 
 
-def _merge_groups(specs: list[SketchSpec], group_cols: list[str]):
+def _merge_groups(specs: list[SketchSpec], group_cols: list[str], with_ord: bool):
+    """applyInPandas fn over state rows: deterministic (partition-ordered)
+    per-key merge. Emits `_ORD_COL` = min input ord when feeding another
+    merge level."""
+
     def fn(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(_ORD_COL, kind="stable")
         row = {c: k for c, k in zip(group_cols, keys)}
+        if with_ord:
+            row[_ORD_COL] = int(pdf[_ORD_COL].min())
         row[_NROWS_COL] = int(pdf[_NROWS_COL].sum())
         for s in specs:
             acc = None
@@ -73,45 +135,37 @@ def grouped_sketch(
     group_cols: list[str],
     specs: list[SketchSpec],
     salt_buckets: int = 1,
-    salt_cols: list[str] | None = None,
+    salt_cols: list[str] | None = None,  # obsolete, ignored (see module doc)
     salt_seed: int = 0xBEEF,
+    max_states_per_partition: int = 1 << 16,
 ) -> DataFrame:
     """Per-group sketch states: returns one row per group with
     ``group_cols + [n_rows] + state_<name> binary`` columns.
 
-    With salt_buckets > 1, hot groups fan out over the salt before the
-    per-key merge (two shuffles of states, not rows)."""
-    # one declarative projection: group cols + deduped hashed/cast spec
-    # cols (+ the salt, derived before source columns are dropped)
+    Rows never shuffle: partition-local partial states are built in one
+    streaming pass, then only states move. ``salt_buckets=S`` adds a
+    pre-merge level on (key, partition mod S) to bound per-key fan-in on
+    very wide scans."""
     spec_cols, col_map = plan_columns(specs)
-    cols = [F.col(c) for c in group_cols] + spec_cols
-    if salt_buckets > 1:
-        salt_src = salt_cols or next((list(s.key_cols) for s in specs if s.key_cols), None)
-        if not salt_src or list(salt_src) == list(group_cols):
-            # salting by the group key itself puts a hot group's rows in
-            # ONE salt bucket — the exact straggler the salt exists to
-            # prevent; demand a finer-grained salt source instead
-            raise ValueError(
-                "salt_buckets > 1 needs salt_cols finer-grained than the "
-                "group key (no key-bearing spec to borrow from)"
-            )
-        cols.append(
-            F.pmod(F.xxhash64(*salt_src, F.lit(salt_seed)), F.lit(salt_buckets)).alias(_SALT_COL)
-        )
-    prepared = df.select(*cols)
-    schema = _grouped_schema(prepared, group_cols, specs)
+    prepared = df.select(*[F.col(c) for c in group_cols], *spec_cols)
 
-    if salt_buckets <= 1:
-        return prepared.groupBy(*group_cols).applyInPandas(
-            _build_group(specs, group_cols, col_map), schema=schema
-        )
-
-    salted = prepared
-    stage1_cols = group_cols + [_SALT_COL]
-    stage1_schema = _grouped_schema(salted, stage1_cols, specs)
-    partials = salted.groupBy(*stage1_cols).applyInPandas(
-        _build_group(specs, stage1_cols, col_map), schema=stage1_schema
+    partials = prepared.mapInPandas(
+        _partial_builder(specs, group_cols, col_map, max_states_per_partition),
+        schema=_grouped_schema(prepared, group_cols, specs, with_ord=True),
     )
-    return partials.drop(_SALT_COL).groupBy(*group_cols).applyInPandas(
-        _merge_groups(specs, group_cols), schema=schema
+
+    out_schema = _grouped_schema(prepared, group_cols, specs)
+    if salt_buckets > 1:
+        level1 = partials.withColumn(
+            _SALT_COL, F.pmod(F.shiftright(F.col(_ORD_COL), 20), F.lit(salt_buckets))
+        )
+        mid_cols = group_cols + [_SALT_COL]
+        mid_schema = _grouped_schema(level1, mid_cols, specs, with_ord=True)
+        partials = (
+            level1.groupBy(*mid_cols)
+            .applyInPandas(_merge_groups(specs, mid_cols, with_ord=True), schema=mid_schema)
+            .drop(_SALT_COL)
+        )
+    return partials.groupBy(*group_cols).applyInPandas(
+        _merge_groups(specs, group_cols, with_ord=False), schema=out_schema
     )

@@ -97,6 +97,29 @@ def hll_grouped_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_grouped_orders_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming grouped build over a key whose cardinality scales with SF
+    (one group per supplier): distinct orders per l_suppkey. Exercises the
+    partition-local partial-state path — no row shuffle, states only
+    (operators/grouped.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    states = grouped_sketch(
+        li, ["l_suppkey"], [SketchSpec("o", "hll", key_cols=("l_orderkey",))]
+    ).toPandas()
+    exact = {
+        r["l_suppkey"]: r["n"]
+        for r in li.groupBy("l_suppkey").agg(F.countDistinct("l_orderkey").alias("n")).collect()
+    }
+    rows = []
+    for _, r in states.iterrows():
+        est = sketch_from_bytes(r["state_o"]).cardinality()
+        n = exact[r["l_suppkey"]]
+        rows.append((int(r["l_suppkey"]), int(n), abs(est - n) / max(n, 1) <= HLL_BOUND))
+    return spark.createDataFrame(
+        rows, "l_suppkey bigint, exact_distinct bigint, hll_within_bound boolean"
+    )
+
+
 def hll_vs_spark_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Independent-oracle cross-check (SURVEY.md §4.2): our HLL and Spark's
     built-in approx_count_distinct (HLL++, different registers) must BOTH
@@ -346,6 +369,7 @@ def sketch_queries() -> dict:
         "hll_distinct_user_type": hll_distinct_user_type,
         "hll_distinct_custkey": hll_distinct_custkey,
         "hll_grouped_users_by_type": hll_grouped_users_by_type,
+        "hll_grouped_orders_by_supplier": hll_grouped_orders_by_supplier,
         "hll_vs_spark_builtin": hll_vs_spark_builtin,
         "cms_event_type_freq": cms_event_type_freq,
         "cms_returnflag_linestatus": cms_returnflag_linestatus,
@@ -377,6 +401,11 @@ def sketch_oracles() -> dict:
         "hll_grouped_users_by_type": (
             "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct, "
             "TRUE AS hll_within_bound FROM events GROUP BY event_type"
+        ),
+        "hll_grouped_orders_by_supplier": (
+            "SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey, "
+            "CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct, "
+            "TRUE AS hll_within_bound FROM lineitem GROUP BY l_suppkey"
         ),
         "hll_vs_spark_builtin": (
             "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct, "

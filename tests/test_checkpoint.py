@@ -96,3 +96,58 @@ def test_empty_buckets_marked_done(spark, ckpt_dir):
     again = build.run(ev)
     assert again.metrics["buckets_built_this_run"] == 0
     assert again.n_rows == res.n_rows
+
+
+def test_resume_law_order_sensitive_kinds(spark, ckpt_dir):
+    """ADVICE r01: the byte-identical resume law must also hold for
+    merge-order-SENSITIVE sketches (t-digest, KLL, cuckoo) — merge order
+    is a fixed function of bucket ids, not of attempt/file layout."""
+    specs = [
+        SketchSpec("vals_td", "tdigest", value_col="value"),
+        SketchSpec("vals_kll", "kll", value_col="value"),
+        SketchSpec("types_ck", "cuckoo", key_cols=("event_type",), params={"len": 1 << 10, "f": 12}),
+    ]
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    interrupted = CheckpointedSketchBuild(
+        spark, specs, ckpt_dir, n_buckets=16, bucket_cols=("user_id",)
+    )
+    interrupted.run(ev, limit_buckets=set(range(5)))
+    resumed = interrupted.run(ev)
+
+    other_dir = ckpt_dir + "_uninterrupted"
+    try:
+        straight = CheckpointedSketchBuild(
+            spark, specs, other_dir, n_buckets=16, bucket_cols=("user_id",)
+        ).run(ev)
+        for s in specs:
+            assert (
+                resumed.sketches[s.name].to_bytes() == straight.sketches[s.name].to_bytes()
+            ), s.name
+    finally:
+        shutil.rmtree(other_dir, ignore_errors=True)
+
+
+def test_file_uri_ckpt_dir(spark, tmp_path):
+    """The manifest goes through the Hadoop FS API: a file: URI (the
+    object-store shape) must work end to end."""
+    d = "file://" + str(tmp_path / "ckpt_uri")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    build = CheckpointedSketchBuild(spark, SPECS, d, n_buckets=8, bucket_cols=("user_id",))
+    res = build.run(ev)
+    assert build.is_complete() and res.n_rows == 1000
+    direct = sketch_table(ev, SPECS)
+    for s in SPECS:
+        assert res.sketches[s.name].to_bytes() == direct.sketches[s.name].to_bytes()
+
+
+def test_many_bucket_merge_stays_off_driver(spark, ckpt_dir):
+    """256 buckets merge through G=64 executor groups; the driver folds 64
+    group states, never 256 bucket rows."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    build = CheckpointedSketchBuild(
+        spark, SPECS[:1], ckpt_dir, n_buckets=256, bucket_cols=("user_id",), merge_groups=64
+    )
+    res = build.run(ev)
+    assert res.n_rows == 1000
+    direct = sketch_table(ev, SPECS[:1])
+    assert res.sketches["users"].to_bytes() == direct.sketches["users"].to_bytes()

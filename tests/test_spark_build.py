@@ -223,3 +223,35 @@ def test_preagg_cms_byte_identical(spark, events):
 
     with _pytest.raises(ValueError, match="preagg only supports cms"):
         sketch_table(events, [SketchSpec("u", "hll", key_cols=("user_id",))], preagg=("u",))
+
+
+def test_grouped_flush_cap_is_lossless(spark, events):
+    """Bounded-memory stage 1: forcing mid-partition state flushes (cap=3
+    on ~150 distinct user groups) must yield byte-identical merged states
+    for commutative kinds and identical n_rows."""
+    specs = [SketchSpec("t", "hll", key_cols=("event_type",))]
+    base = (
+        grouped_sketch(events, ["user_id"], specs)
+        .toPandas().set_index("user_id").sort_index()
+    )
+    flushed = (
+        grouped_sketch(events, ["user_id"], specs, max_states_per_partition=3)
+        .toPandas().set_index("user_id").sort_index()
+    )
+    assert list(base.index) == list(flushed.index)
+    assert (base["n_rows"] == flushed["n_rows"]).all()
+    for uid in base.index:
+        assert base.loc[uid, "state_t"] == flushed.loc[uid, "state_t"]
+
+
+def test_grouped_no_row_shuffle(spark, events):
+    """The streaming grouped plan must shuffle serialized states, not input
+    rows: exactly one Exchange (plus the salt level if requested), and it
+    sits ABOVE the mapInPandas partial build."""
+    specs = [SketchSpec("u", "hll", key_cols=("user_id",))]
+    plan = grouped_sketch(events, ["event_type"], specs)._jdf.queryExecution().executedPlan().toString()
+    # one exchange for the per-key state merge; the row scan feeds
+    # MapInPandas directly with no exchange below it
+    assert plan.count("Exchange") == 1
+    before_exchange = plan.split("Exchange")[-1]  # bottom of the plan tree
+    assert "MapInPandas" in before_exchange
