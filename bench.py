@@ -101,6 +101,107 @@ def fused_transcripts(spark, path):
     return sketch_table(df, transcript_specs())
 
 
+SPARK_HOME = os.environ.get("SPARK_HOME", "/opt/spark")
+MASTER_URL = "spark://127.0.0.1:7077"
+EX_SMALL = int(os.environ.get("PJS_BENCH_EX_SMALL", "2"))
+EX_LARGE = int(os.environ.get("PJS_BENCH_EX_LARGE", "8"))
+
+
+def cluster_up() -> bool:
+    """Start a single-box standalone cluster (one master, one 16-core
+    worker). Executors are then REAL separate JVMs, each with its own
+    arrow pipes and python workers — the topology the north_rule's
+    'N and 4N executors' criterion describes, not local-mode threads."""
+    sbin = os.path.join(SPARK_HOME, "sbin")
+    if not os.path.exists(os.path.join(sbin, "start-master.sh")):
+        return False
+    env = dict(os.environ, SPARK_MASTER_HOST="127.0.0.1")
+    try:
+        subprocess.run([os.path.join(sbin, "start-master.sh")], env=env,
+                       capture_output=True, timeout=120)
+        time.sleep(4)
+        subprocess.run(
+            [os.path.join(sbin, "start-worker.sh"), MASTER_URL, "-c", "16", "-m", "64g"],
+            env=env, capture_output=True, timeout=120,
+        )
+        time.sleep(4)
+        # probe: can we get an app with 1 executor?
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cluster-probe"],
+            capture_output=True, text=True, cwd=REPO, timeout=180,
+        )
+        return out.returncode == 0
+    except Exception as e:  # noqa: BLE001
+        log(f"cluster_up failed: {e}")
+        return False
+
+
+def cluster_down() -> None:
+    sbin = os.path.join(SPARK_HOME, "sbin")
+    for script in ("stop-worker.sh", "stop-master.sh"):
+        try:
+            subprocess.run([os.path.join(sbin, script)], capture_output=True, timeout=60)
+        except Exception:  # noqa: BLE001
+            pass
+
+
+def pyfiles_zip() -> str:
+    import zipfile
+
+    path = os.path.join(CACHE, "pjs_pyfiles.zip")
+    os.makedirs(CACHE, exist_ok=True)
+    with zipfile.ZipFile(path, "w") as z:
+        pkg = os.path.join(REPO, "probably_jl_spark")
+        for root, _, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.relpath(p, REPO))
+    return path
+
+
+def make_cluster_session(n_executors: int):
+    """One 1-core executor JVM per requested executor. 1-core executors
+    keep peak thread demand (JVM task + its python worker, x executors)
+    within this box's ~20.5 effective cores at the wide leg; on a real
+    cluster executor count scales nodes, not SMT pressure."""
+    from pyspark.sql import SparkSession
+
+    from probably_jl_spark.conf import apply_conf, sketch_build_conf
+
+    builder = (
+        SparkSession.builder.master(MASTER_URL)
+        .appName(f"pjs-bench-{n_executors}ex")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .config("spark.executor.cores", "1")
+        .config("spark.executor.memory", "3g")
+        .config("spark.cores.max", str(n_executors))
+        .config("spark.pyspark.python", sys.executable)
+    )
+    spark = apply_conf(builder, sketch_build_conf("local", cores=n_executors)).getOrCreate()
+    spark.sparkContext.addPyFile(pyfiles_zip())
+    return spark
+
+
+def run_cluster_leg(n_executors: int, warmups: int = 3, runs: int = 4) -> dict:
+    """spark-submit-equivalent leg against the standalone cluster: fresh
+    app => fresh executor JVMs; warm-ups cover executor JIT + python
+    worker spawn; min-of-N vs co-tenant noise."""
+    spark = make_cluster_session(n_executors)
+    spark.sparkContext.setLogLevel("ERROR")
+    path = transcripts_path()
+    for _ in range(warmups):
+        fused_transcripts(spark, path)
+    times, n_turns = [], 0
+    for _ in range(runs):
+        r = fused_transcripts(spark, path)
+        times.append(r.metrics["wall_sec"])
+        n_turns = r.n_rows
+    spark.stop()
+    return {"n_executors": n_executors, "sec": min(times), "all_sec": times, "n_turns": n_turns}
+
+
 def run_leg(cores: int, warmups: int = 1, runs: int = 1) -> dict:
     """One scaling leg: fresh JVM at local[cores], warm-ups, then the MIN of
     `runs` measured runs — this box has co-tenant load (load avg >10 with
@@ -124,26 +225,73 @@ def run_bench() -> dict:
     queries: dict[str, float] = {}
     extras: dict = {}
 
-    # ---------- scaling legs, each in a fresh subprocess.
-    # Headline pair is (2, 8): this sandbox's 32 hardware threads are ~20
-    # effective cores (SMT), which physically caps 8->32 efficiency at
-    # ~0.64 regardless of software; 2->8 sits inside real capacity and is
-    # the honest N->4N proxy. The 8->32 pair is reported alongside.
-    # synthesize/caches first in its own subprocess so parquet writeback
+    # ---------- scaling. Headline: REAL multi-executor scaling on a
+    # single-box standalone cluster — 2 vs 8 one-core executor JVMs
+    # (N -> 4N executors, each owning its arrow pipes + python workers),
+    # which is the topology the north_rule criterion describes. Local-mode
+    # thread pairs are reported as a secondary series for continuity.
+    # synthesize/cache first in its own subprocess so parquet writeback
     # never pollutes the first leg's measurements
     subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--ensure"],
         capture_output=True, text=True, cwd=REPO, timeout=1800, check=True,
     )
-    # Interleave single-run legs across rounds: this sandbox has
-    # fluctuating co-tenant load (observed load avg 6->28 with no local
-    # processes), so consecutive-run legs would sample different load.
-    # Each (cores) subprocess does 1 warm-up + 1 measured run; efficiency
-    # uses the min across rounds per leg (interference-robust).
-    samples: dict[int, list[float]] = {2: [], SMALL: [], CPUS: []}
-    loadavgs = []
-    n_turns_seen = 0
-    for rnd in range(4):
+
+    cluster_ok = cluster_up()
+    ex_samples: dict[int, list[float]] = {EX_SMALL: [], EX_LARGE: []}
+    loadavgs: list[float] = []
+    n_turns = 0
+    if cluster_ok:
+        try:
+            # interleave rounds: co-tenant load fluctuates, min-per-leg
+            # across interleaved rounds is interference-robust. Load is
+            # sampled BEFORE each leg (sampling after folds the leg's own
+            # threads into the 1-min average).
+            for rnd in range(3):
+                for nex in (EX_SMALL, EX_LARGE):
+                    loadavgs.append(round(os.getloadavg()[0], 1))
+                    out = subprocess.run(
+                        [sys.executable, os.path.abspath(__file__), "--cluster-leg", str(nex)],
+                        capture_output=True, text=True, cwd=REPO, timeout=1800,
+                    )
+                    if out.returncode != 0:
+                        log(out.stderr[-2000:])
+                        raise RuntimeError(f"cluster leg {nex} failed")
+                    leg = json.loads(out.stdout.strip().splitlines()[-1])
+                    ex_samples[nex].append(leg["sec"])
+                    n_turns = leg["n_turns"]
+                    log(f"round {rnd} {nex} executors: {leg['sec']:.2f}s pre-load={loadavgs[-1]}")
+        finally:
+            cluster_down()
+        t_small_ex = min(ex_samples[EX_SMALL])
+        t_large_ex = min(ex_samples[EX_LARGE])
+        efficiency = (t_small_ex / t_large_ex) / (EX_LARGE / EX_SMALL)
+        extras["scaling"] = {
+            "mode": "standalone-cluster, separate executor JVMs",
+            "executors_small": EX_SMALL,
+            "executors_large": EX_LARGE,
+            "executor_cores": 1,
+            "sec_small": round(t_small_ex, 3),
+            "sec_large": round(t_large_ex, 3),
+            "turns_per_sec_small": round(n_turns / t_small_ex),
+            "turns_per_sec_large": round(n_turns / t_large_ex),
+            "efficiency": round(efficiency, 3),
+            "target": 0.8,
+            "external_loadavg_during_legs": loadavgs,
+            "note": (
+                "one-core executors: at the wide leg, 8 executor JVMs + their "
+                "8 python workers peak at ~17 runnable threads, inside this "
+                "box's ~20.5 effective cores (32 SMT threads); multi-core "
+                "executors oversubscribe SMT locally, which a real cluster "
+                "(executors on separate nodes) does not"
+            ),
+        }
+    else:
+        log("standalone cluster unavailable; falling back to local-mode pair only")
+
+    # secondary series: local-mode thread scaling (r01 continuity)
+    local_samples: dict[int, list[float]] = {2: [], SMALL: [], CPUS: []}
+    for rnd in range(2):
         for cores in (2, SMALL, CPUS):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--leg", str(cores)],
@@ -153,67 +301,42 @@ def run_bench() -> dict:
                 log(out.stderr[-2000:])
                 raise RuntimeError(f"leg {cores} failed")
             leg = json.loads(out.stdout.strip().splitlines()[-1])
-            samples[cores].append(leg["sec"])
-            loadavgs.append(round(os.getloadavg()[0], 1))
-            n_turns_seen = leg["n_turns"]
-            log(f"round {rnd} local[{cores}]: {leg['sec']:.2f}s load={loadavgs[-1]}")
-    legs = {
-        c: {"cores": c, "sec": min(ts), "all_sec": ts, "n_turns": n_turns_seen}
-        for c, ts in samples.items()
-    }
-    log(f"legs (min over interleaved rounds): { {c: legs[c]['sec'] for c in legs} }")
-
-    t2, t_small, t_large = legs[2]["sec"], legs[SMALL]["sec"], legs[CPUS]["sec"]
-    n_turns = legs[CPUS]["n_turns"]
+            local_samples[cores].append(leg["sec"])
+            n_turns = leg["n_turns"]
+            log(f"round {rnd} local[{cores}]: {leg['sec']:.2f}s")
+    t2, t_small, t_large = (min(local_samples[c]) for c in (2, SMALL, CPUS))
     queries["fused_transcripts_build"] = round(t_small, 3)
-    efficiency = (t2 / t_small) / (SMALL / 2)
-    # Amdahl decomposition from the (2, 8)-core pair: T(c) = f + W/c.
-    # Measured f is per-byte (halves with half the input) and GC-invariant:
-    # it is the single-JVM local-mode arrow/IPC/memory-bus contention that
-    # a real multi-executor cluster does not share (each executor owns its
-    # python pipes and memory bus), so the parallel work W is the
-    # cluster-transferable part.
+    # Amdahl decomposition of the LOCAL pair: T(c) = f + W/c. The fitted f
+    # is single-JVM arrow/IPC sharing that separate executor JVMs do not
+    # have — which the cluster measurement above now demonstrates directly
+    # (its efficiency is the headline; this fit explains the local gap).
     f_serial = max(0.0, (4 * t_small - t2) / 3)
     w_par = 2 * (t2 - f_serial)
-    extras["scaling"] = {
-        "cores_small": 2,
-        "cores_large": SMALL,
-        "sec_small": round(t2, 3),
-        "sec_large": round(t_small, 3),
-        "turns_per_sec_small": round(n_turns / t2),
-        "turns_per_sec_large": round(n_turns / t_small),
-        "efficiency": round(efficiency, 3),
-        "target": 0.8,
+    extras["scaling_local_threads"] = {
+        "cores": [2, SMALL, CPUS],
+        "sec": [round(t2, 3), round(t_small, 3), round(t_large, 3)],
+        "efficiency_2_to_8": round((t2 / t_small) / (SMALL / 2), 3),
+        "efficiency_8_to_32": round((t_small / t_large) / (CPUS / SMALL), 3),
         "amdahl_fit": {
             "serial_sec_single_jvm": round(f_serial, 2),
             "parallel_work_core_sec": round(w_par, 2),
-            "parallel_fraction_at_2cores": round((w_par / 2) / (w_par / 2 + f_serial), 3),
             "note": (
-                "serial component is per-byte single-JVM arrow/IPC contention "
-                "(halves with half the input; GC choice has no effect); on a "
-                "multi-executor cluster each executor owns its arrow pipes, so "
-                "the transferable scaling is set by W, which parallelizes ~1:1 "
-                "(see quiet_window_reference, measured when python work "
-                "dominated W)"
+                "local-mode threads share one JVM's arrow/IPC path (fitted "
+                "serial f); separate executor JVMs remove it — see `scaling`. "
+                "32 SMT threads measure ~20.5 effective cores, capping 8->32"
             ),
-        },
-        "external_loadavg_during_legs": loadavgs,
-        "quiet_window_reference": {
-            "note": (
-                "same job, 11.5M turns, measured 2026-08-16 in a zero-co-tenant "
-                "window: T2=21.25s T8=5.27s -> efficiency 1.008; this sandbox "
-                "has fluctuating external load (loadavg 6-28 observed with no "
-                "local processes), which penalizes the wide leg"
-            ),
-            "efficiency": 1.008,
-        },
-        "secondary_pair": {
-            "cores": [SMALL, CPUS],
-            "sec": [round(t_small, 3), round(t_large, 3)],
-            "efficiency": round((t_small / t_large) / (CPUS / SMALL), 3),
-            "note": "SMT: ~20.5 effective cores cap 8->32 efficiency at ~0.64",
         },
     }
+    if not cluster_ok:
+        extras["scaling"] = {
+            "mode": "local-mode fallback",
+            "cores_small": 2,
+            "cores_large": SMALL,
+            "sec_small": round(t2, 3),
+            "sec_large": round(t_small, 3),
+            "efficiency": round((t2 / t_small) / (SMALL / 2), 3),
+            "target": 0.8,
+        }
     extras["turns_per_sec"] = round(n_turns / t_small)
     extras["n_turns"] = n_turns
 
@@ -259,6 +382,24 @@ def run_bench() -> dict:
         salt_cols=["conv_id"],
     ).collect()
     queries["grouped_salted_by_role"] = round(time.perf_counter() - t0, 3)
+
+    # SimHash over >=1M docs (VERDICT r01 next-round #2 evidence): batch
+    # fold via JVM token-hash arrays + segment sums — no per-doc Python.
+    from probably_jl_spark.operators.dedup import simhash
+
+    docs = tr.filter("turn_idx = 0").select(
+        F.xxhash64("conv_id").alias("doc_id"), "text"
+    )
+    n_docs = docs.count()  # warm page cache
+    simhash(docs.filter("pmod(doc_id, 16) = 0")).count()  # warm the fold path
+    t0 = time.perf_counter()
+    # count() forces the full fold; summing 5M int64 simhashes would
+    # overflow under ANSI mode
+    simhash(docs).count()
+    sim_sec = time.perf_counter() - t0
+    queries["simhash_docs"] = round(sim_sec, 3)
+    extras["simhash_docs_per_sec"] = round(n_docs / sim_sec)
+    extras["simhash_n_docs"] = n_docs
 
     probes = spark.range(0, 1_000_000).select(
         F.format_string("conv-%08d", F.col("id")).alias("conv_id")
@@ -342,6 +483,7 @@ def run_bench() -> dict:
 
 def write_bench_md(result: dict) -> None:
     s = result["scaling"]
+    lt = result.get("scaling_local_threads")
     lines = [
         "# BENCH — fused sketch-build throughput + scaling",
         "",
@@ -349,59 +491,61 @@ def write_bench_md(result: dict) -> None:
         f"(seed 42), parquet; sketches: HLL(conv), HLL(conv,tool), CMS(role), "
         "CMS(tool), Bloom(conv), t-digest(len), KLL(len) — one fused pass.",
         "",
-        "## Two-parallelism scaling (sandbox proxy for N->4N executors)",
+        "## N -> 4N executor scaling (standalone cluster, separate executor JVMs)",
         "",
-        "Each leg is a fresh JVM subprocess, 2 warm-up runs, min of 5",
-        "measured runs (Python workers + page cache warm in both legs;",
-        "min-of-N because the sandbox has fluctuating co-tenant load).",
-        "Split size is pinned (16 MB) so every leg sees the same task",
-        "layout, as on a real cluster where splits don't depend on the",
-        "executor count. Headline pair is 2->8 cores: the box's 32 SMT",
-        "threads measure as ~20.5 effective cores (spin-loop capacity",
-        "test), physically capping any 8->32 efficiency at ~0.64; the",
-        "8->32 pair is reported below for completeness.",
+        "The north rule's two-cluster-size criterion is evidenced with REAL",
+        "executors: a single-box standalone master + worker, and the same",
+        "job submitted at 2 and at 8 one-core executors. Each executor is",
+        "its own JVM with its own Arrow pipes and Python workers — the",
+        "resource topology of a real cluster, unlike local-mode threads",
+        "which share one JVM. One-core executors keep the wide leg's peak",
+        "thread demand (~17) inside this box's ~20.5 effective cores",
+        "(32 SMT threads); on a real cluster executor count scales nodes,",
+        "not SMT pressure. Each leg: fresh app (fresh executor JVMs),",
+        "3 warm-ups, min of 4 measured runs, legs interleaved across",
+        "rounds against co-tenant load.",
         "",
-        "| cores | sec | turns/sec |",
+        "| executors | sec | turns/sec |",
         "|---|---|---|",
-        f"| local[{s['cores_small']}] | {s['sec_small']} | {s['turns_per_sec_small']:,} |",
-        f"| local[{s['cores_large']}] | {s['sec_large']} | {s['turns_per_sec_large']:,} |",
+        f"| {s.get('executors_small', s.get('cores_small'))} | {s['sec_small']} | "
+        f"{s.get('turns_per_sec_small', 0):,} |",
+        f"| {s.get('executors_large', s.get('cores_large'))} | {s['sec_large']} | "
+        f"{s.get('turns_per_sec_large', 0):,} |",
         "",
-        f"**Scaling efficiency = (T_{s['cores_small']} / T_{s['cores_large']}) / "
-        f"{s['cores_large'] // s['cores_small']} = {s['efficiency']}** (target >= {s['target']})",
+        f"**Scaling efficiency = (T_small / T_large) / 4 = {s['efficiency']}** "
+        f"(target >= {s['target']}; mode: {s.get('mode', '')})",
         "",
-        f"External co-tenant load (1-min loadavg at each leg sample): "
-        f"{s['external_loadavg_during_legs']}. Quiet-window reference for the "
-        f"same job: efficiency {s['quiet_window_reference']['efficiency']} "
-        f"({s['quiet_window_reference']['note']}).",
+        f"External co-tenant load (1-min loadavg at leg samples): "
+        f"{s.get('external_loadavg_during_legs', [])}.",
         "",
-        "### Amdahl decomposition (what limits local-mode scaling)",
-        "",
-        f"Fitting T(c) = f + W/c to the 2- and 8-core legs: f = "
-        f"{s['amdahl_fit']['serial_sec_single_jvm']}s serial, W = "
-        f"{s['amdahl_fit']['parallel_work_core_sec']} core-sec parallel. "
-        "The serial part is *per-byte* (halves when the input halves) and "
-        "independent of GC choice — it is single-JVM local-mode contention "
-        "on the shared arrow/IPC path and memory bus. A real N->4N executor "
-        "scale-up replicates those resources per executor, so the "
-        "cluster-transferable scaling follows W. Supporting evidence: with "
-        "2.4x slower kernels (more python work, same arrow volume) the same "
-        "harness measured efficiency 1.008 in a quiet window — the arrow "
-        "serial share, not the sketch build, is what the local proxy "
-        "under-credits.",
-        "",
+    ]
+    if lt:
+        lines += [
+            "### Secondary series: local-mode threads (r01 continuity)",
+            "",
+            f"local[{lt['cores'][0]}/{lt['cores'][1]}/{lt['cores'][2]}] = "
+            f"{lt['sec'][0]}/{lt['sec'][1]}/{lt['sec'][2]} s; "
+            f"2->8 efficiency {lt['efficiency_2_to_8']}, 8->32 {lt['efficiency_8_to_32']}. "
+            f"Amdahl fit T(c) = f + W/c: f = {lt['amdahl_fit']['serial_sec_single_jvm']}s, "
+            f"W = {lt['amdahl_fit']['parallel_work_core_sec']} core-sec. "
+            f"{lt['amdahl_fit']['note']}.",
+            "",
+        ]
+    lines += [
         "## Per-query seconds",
         "",
         "| query | sec |",
         "|---|---|",
     ]
     lines += [f"| {k} | {v} |" for k, v in result["queries"].items()]
-    sp = s.get("secondary_pair")
-    if sp:
+    if "simhash_docs_per_sec" in result:
         lines += [
             "",
-            f"Secondary pair local[{sp['cores'][0]}] -> local[{sp['cores'][1]}]: "
-            f"{sp['sec'][0]}s -> {sp['sec'][1]}s, efficiency {sp['efficiency']} "
-            f"({sp['note']}).",
+            f"SimHash: {result['simhash_n_docs']:,} docs in "
+            f"{result['queries']['simhash_docs']}s = "
+            f"{result['simhash_docs_per_sec']:,} docs/sec (batch Arrow fold; "
+            "the r01 per-doc-group implementation dispatched one Python call "
+            "per document).",
         ]
     acc = result["accuracy"]["hll_distinct_convs"]
     a = result["accuracy"]
@@ -434,6 +578,13 @@ if __name__ == "__main__":
         spark.stop()
     elif len(sys.argv) >= 3 and sys.argv[1] == "--leg":
         print(json.dumps(run_leg(int(sys.argv[2]))))
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--cluster-leg":
+        print(json.dumps(run_cluster_leg(int(sys.argv[2]))))
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--cluster-probe":
+        spark = make_cluster_session(1)
+        spark.sparkContext.setLogLevel("ERROR")
+        assert spark.range(10).count() == 10
+        spark.stop()
     else:
         result = run_bench()
         write_bench_md(result)

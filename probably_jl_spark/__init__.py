@@ -8,7 +8,7 @@ from .operators.grouped import grouped_sketch
 from .operators.specs import SketchSpec, merge_blobs, sketch_from_bytes
 from .sketches.bloom import BloomFilter, constrain_bloom
 from .sketches.cms import CountMinSketch, params_from_error
-from .sketches.cuckoo import CuckooFilter, constrain_cuckoo
+from .sketches.cuckoo import CuckooFilter, CuckooOverflowError, constrain_cuckoo
 from .sketches.hll import HyperLogLog
 from .sketches.kll import KLL
 from .sketches.tdigest import TDigest
@@ -17,6 +17,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "BloomFilter", "BuildResult", "CountMinSketch", "CuckooFilter",
+    "CuckooOverflowError",
     "HyperLogLog", "KLL", "SketchSpec", "TDigest", "build_partials",
     "constrain_bloom", "constrain_cuckoo", "grouped_sketch", "merge_blobs",
     "params_from_error", "sketch_from_bytes", "sketch_table", "tree_merge",
