@@ -259,3 +259,135 @@ def cosine_near_dup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+# ----------------------------------------------------------------- IVF ANN
+
+
+def train_centroids(
+    emb_df: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    iters: int = 10,
+    seed: int = 7,
+    sample_limit: int = 20_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer, trained driver-side on a
+    bounded sample (centroid training needs ~100x n_centroids vectors, not
+    the corpus — the ONLY driver-side piece of the IVF path, and its size
+    is fixed by `sample_limit`, not the data). Deterministic: seeded init,
+    Lloyd iterations, ties to the lowest centroid id. Returns a
+    row-normalized (n_centroids, dim) float32 matrix."""
+    frac = min(1.0, sample_limit * 2.0 / max(emb_df.count(), 1))
+    rows = emb_df.sample(fraction=frac, seed=seed).limit(sample_limit).collect()
+    x = np.array([r[vec_col] for r in rows], dtype=np.float32)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rs = np.random.RandomState(seed)
+    cents = x[rs.choice(len(x), size=n_centroids, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)  # max dot = min angle
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
+def ivf_assign(
+    emb_df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+    out_col: str = "list_id",
+) -> DataFrame:
+    """Inverted-list assignment: each vector -> its `nprobe` nearest
+    centroid ids (corpus uses nprobe=1; queries probe several lists).
+    Broadcast centroids, one numpy matmul per Arrow batch; vectors ride
+    through inline — no corpus re-join (same discipline as
+    hyperplane_buckets)."""
+    bc = emb_df.sparkSession.sparkContext.broadcast(centroids)
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField(out_col, LongType()), emb_df.schema[vec_col]]
+    )
+
+    def part(batches):
+        cents = bc.value
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float32)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ cents.T  # (B, k)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            if nprobe == 1:
+                yield pd.DataFrame(
+                    {id_col: ids, out_col: np.argmax(sims, axis=1), vec_col: pdf[vec_col]}
+                )
+            else:
+                p = min(nprobe, cents.shape[0])
+                top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+                yield pd.DataFrame(
+                    {
+                        id_col: np.repeat(ids, p),
+                        out_col: top.ravel(),
+                        vec_col: pdf[vec_col].iloc[np.repeat(np.arange(len(ids)), p)].to_numpy(),
+                    }
+                )
+
+    return emb_df.mapInPandas(part, schema=schema)
+
+
+def ann_topk_ivf(
+    emb_df: DataFrame,
+    query_df: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 6,
+    iters: int = 10,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k — the clustered-data scale path next to the
+    LSH tables (sign-LSH is data-independent; IVF adapts its partitions
+    to the corpus distribution). Corpus vectors land in 1 inverted list
+    each; every query probes its `nprobe` nearest lists and reranks
+    exactly inside them. The list join moves (query_id, list_id) keys plus
+    one corpus pass; recall is tuned by nprobe/n_centroids.
+
+    At 100 TB: the corpus side shuffles once on list_id (same shape as the
+    LSH bucket join); list skew mirrors cluster imbalance and is bounded
+    by k-means balance — cap or split hot lists with the same
+    max-bucket-size discipline as the LSH paths if the corpus is heavily
+    clustered."""
+    cents = train_centroids(
+        emb_df, dim, n_centroids, iters, seed, id_col=id_col, vec_col=vec_col
+    )
+    corpus = ivf_assign(emb_df, cents, id_col, vec_col, nprobe=1)
+    probes = ivf_assign(query_df, cents, id_col, vec_col, nprobe=nprobe)
+    cands = (
+        probes.select(F.col(id_col).alias("query_id"), "list_id")
+        .join(
+            corpus.select(F.col(id_col).alias("neighbor_id"), "list_id"),
+            "list_id",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qvecs = query_df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    nvecs = emb_df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+    scored = (
+        cands.join(F.broadcast(qvecs), "query_id")
+        .join(nvecs, "neighbor_id")
+        .withColumn("sim", _cosine_udf()(F.col("qvec"), F.col(vec_col)))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", "sim")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

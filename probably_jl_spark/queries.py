@@ -542,6 +542,27 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bool_row(spark, n_queries=10, recall_above_070=bool(np.mean(recalls) >= 0.7))
 
 
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (spherical k-means inverted lists) ANN vs exact: mean top-5
+    recall over 10 queries must clear 0.7 (16 lists, nprobe=8 measures
+    ~0.82 on the near-uniform synthetic embeddings — the hardest case for
+    a coarse quantizer)."""
+    import numpy as np
+
+    from .operators.similarity import ann_topk_ivf, cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 10")
+    exact = cosine_topk(emb, q, k=5).toPandas()
+    approx = ann_topk_ivf(emb, q, dim=64, k=5, n_centroids=16, nprobe=8).toPandas()
+    recalls = []
+    for i in range(10):
+        e = set(exact[exact.query_id == i].neighbor_id)
+        a = set(approx[approx.query_id == i].neighbor_id)
+        recalls.append(len(e & a) / max(len(e), 1))
+    return _bool_row(spark, n_queries=10, recall_above_070=bool(np.mean(recalls) >= 0.7))
+
+
 def token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import token_count
 
@@ -581,6 +602,7 @@ def training_queries() -> dict:
         "simhash_dups_docs": simhash_dups_docs,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_recall": ann_lsh_recall,
+        "ann_ivf_recall": ann_ivf_recall,
         "token_count_docs": token_count_docs,
         "quality_score_docs": quality_score_docs,
         "fingerprint_docs": fingerprint_docs,
@@ -621,6 +643,9 @@ def training_oracles() -> dict:
             "QUALIFY rank <= 10"
         ),
         "ann_lsh_recall": (
+            "SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_above_070"
+        ),
+        "ann_ivf_recall": (
             "SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_above_070"
         ),
         "token_count_docs": (

@@ -204,3 +204,23 @@ def test_ann_lsh_no_corpus_rejoin(spark, emb):
     # query vectors attach via broadcast (plus whatever other small sides
     # AQE chooses to broadcast at this scale)
     assert "BroadcastExchange" in ann_plan
+
+
+def test_ann_ivf_recall(spark, emb):
+    """IVF (k-means inverted lists) recall vs exact top-k; deterministic
+    across runs (seeded sample + init)."""
+    from probably_jl_spark.operators.similarity import ann_topk_ivf
+
+    queries = emb.filter("vec_id < 10")
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    a1 = ann_topk_ivf(emb, queries, dim=64, k=5, n_centroids=16, nprobe=8).toPandas()
+    a2 = ann_topk_ivf(emb, queries, dim=64, k=5, n_centroids=16, nprobe=8).toPandas()
+    assert sorted(map(tuple, a1[["query_id", "neighbor_id"]].values.tolist())) == sorted(
+        map(tuple, a2[["query_id", "neighbor_id"]].values.tolist())
+    )
+    recalls = []
+    for q in range(10):
+        e = set(exact[exact.query_id == q].neighbor_id)
+        a = set(a1[a1.query_id == q].neighbor_id)
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.7, f"mean recall {np.mean(recalls)}"
