@@ -33,7 +33,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SMALL = max(2, CPUS // 4)
 CACHE = os.path.join(REPO, ".bench_cache")
-N_CONVS = int(os.environ.get("PJS_BENCH_CONVS", "5000000"))  # ~19M turns
+N_CONVS = int(os.environ.get("PJS_BENCH_CONVS", "20000000"))  # ~77M turns
+# At the 10^12-turn target regime a leg runs for hours, so per-job fixed
+# costs (scheduling waves, tree-merge, driver) are noise; a 77M-turn
+# input keeps the wide leg >10s so measured efficiency reflects the
+# work, not the floor. Long legs need fewer repetitions.
+_LONG = N_CONVS >= 10_000_000
 
 
 def log(msg: str) -> None:
@@ -184,10 +189,14 @@ def make_cluster_session(n_executors: int):
     return spark
 
 
-def run_cluster_leg(n_executors: int, warmups: int = 3, runs: int = 4) -> dict:
+def run_cluster_leg(n_executors: int, warmups: int | None = None, runs: int | None = None) -> dict:
     """spark-submit-equivalent leg against the standalone cluster: fresh
     app => fresh executor JVMs; warm-ups cover executor JIT + python
     worker spawn; min-of-N vs co-tenant noise."""
+    if warmups is None:
+        warmups = 1 if _LONG else 3
+    if runs is None:
+        runs = 2 if _LONG else 4
     spark = make_cluster_session(n_executors)
     spark.sparkContext.setLogLevel("ERROR")
     path = transcripts_path()
@@ -247,7 +256,7 @@ def run_bench() -> dict:
             # across interleaved rounds is interference-robust. Load is
             # sampled BEFORE each leg (sampling after folds the leg's own
             # threads into the 1-min average).
-            for rnd in range(3):
+            for rnd in range(2 if _LONG else 3):
                 for nex in (EX_SMALL, EX_LARGE):
                     loadavgs.append(round(os.getloadavg()[0], 1))
                     out = subprocess.run(
@@ -387,7 +396,8 @@ def run_bench() -> dict:
     # fold via JVM token-hash arrays + segment sums — no per-doc Python.
     from probably_jl_spark.operators.dedup import simhash
 
-    docs = tr.filter("turn_idx = 0").select(
+    doc_mod = max(1, N_CONVS // 5_000_000)  # ~5M docs at any bench scale
+    docs = tr.filter(f"turn_idx = 0 AND pmod(xxhash64(conv_id), {doc_mod}) = 0").select(
         F.xxhash64("conv_id").alias("doc_id"), "text"
     )
     n_docs = docs.count()  # warm page cache
@@ -502,8 +512,10 @@ def write_bench_md(result: dict) -> None:
         "thread demand (~17) inside this box's ~20.5 effective cores",
         "(32 SMT threads); on a real cluster executor count scales nodes,",
         "not SMT pressure. Each leg: fresh app (fresh executor JVMs),",
-        "3 warm-ups, min of 4 measured runs, legs interleaved across",
-        "rounds against co-tenant load.",
+        f"{1 if _LONG else 3} warm-up(s), min of {2 if _LONG else 4} measured runs,",
+        "legs interleaved across rounds against co-tenant load. The",
+        f"{N_CONVS // 1_000_000}M-conversation input keeps the wide leg well",
+        "above per-job fixed costs, as at the hours-long 10^12-turn regime.",
         "",
         "| executors | sec | turns/sec |",
         "|---|---|---|",
