@@ -135,9 +135,14 @@ def cluster_up() -> bool:
             [sys.executable, os.path.abspath(__file__), "--cluster-probe"],
             capture_output=True, text=True, cwd=REPO, timeout=180,
         )
-        return out.returncode == 0
+        if out.returncode != 0:
+            log(f"cluster probe failed: {out.stderr[-500:]}")
+            cluster_down()  # don't leave orphaned daemons holding cores
+            return False
+        return True
     except Exception as e:  # noqa: BLE001
         log(f"cluster_up failed: {e}")
+        cluster_down()
         return False
 
 

@@ -9,10 +9,11 @@ MinHash+LSH, SimHash, n-gram Jaccard. Spark-first design:
   Python, whole-stage codegen); banding + bucket self-join produce
   candidate pairs; exact shingle-Jaccard verification also stays JVM-side
   (array_intersect / array_union);
-* SimHash hashes tokens JVM-side as an array column (split + transform +
-  xxhash64, no explode/shuffle), then folds sign votes for whole Arrow
-  batches in one mapInPandas (segment sums); near-dup candidates via
-  4x16-bit band equality, verified with bit_count(xor).
+* SimHash hashes tokens JVM-side with codegen explode + xxhash64 (a
+  higher-order transform lambda would evaluate interpreted per element,
+  ~10x slower), then folds sign votes over doc-contiguous segments in one
+  shuffle-free mapInPandas; near-dup candidates via 4x16-bit band
+  equality, verified with bit_count(xor).
 
 Scale notes: every self-join is on a (band, bucket-hash) key whose
 cardinality grows with the corpus — no broadcast of the corpus, no
@@ -214,7 +215,12 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     next batch. No shuffle, no per-doc dispatch, no whole-doc-group
     materialization.
 
-    Docs with no tokens produce no row (explode semantics)."""
+    Docs with no tokens produce no row (explode semantics). Requires one
+    row per id (the normal documents-table shape): a duplicate id in
+    NON-adjacent rows would split into partial folds, so a finished id
+    that reappears within a partition raises instead of silently emitting
+    wrong simhashes (cross-partition duplicates are undetectable without
+    a shuffle and remain the caller's contract)."""
     tok = df.select(
         F.col(id_col),
         F.explode(F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")).alias(
@@ -226,6 +232,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         pend_id = None
         pend_ones = None
         pend_n = 0
+        seen: set[int] = set()  # finished ids (duplicate-id guard)
 
         def finish(ids_arr, ones_mat, counts):
             votes = 2 * ones_mat - counts[:, None]
@@ -242,6 +249,14 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
             seg_ids = ids[starts]
             counts = np.diff(np.concatenate([starts, [ids.size]]))
             ones = _segment_bit_ones(flat, starts)
+            fresh = seg_ids if pend_id is None or seg_ids[0] != pend_id else seg_ids[1:]
+            dup = [int(i) for i in fresh.tolist() if i in seen]
+            if dup:
+                raise ValueError(
+                    f"simhash: id(s) {dup[:3]} appear in non-adjacent rows — "
+                    "one row per id required (see docstring)"
+                )
+            seen.update(int(i) for i in fresh.tolist())
             if pend_id is not None and seg_ids[0] == pend_id:
                 ones[0] += pend_ones
                 counts[0] += pend_n

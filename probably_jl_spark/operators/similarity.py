@@ -282,8 +282,12 @@ def train_centroids(
     row-normalized (n_centroids, dim) float32 matrix."""
     frac = min(1.0, sample_limit * 2.0 / max(emb_df.count(), 1))
     rows = emb_df.sample(fraction=frac, seed=seed).limit(sample_limit).collect()
+    if not rows:
+        raise ValueError("train_centroids: empty corpus/sample")
     x = np.array([r[vec_col] for r in rows], dtype=np.float32)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    # a tiny corpus can sample fewer vectors than requested centroids
+    n_centroids = min(n_centroids, len(x))
     rs = np.random.RandomState(seed)
     cents = x[rs.choice(len(x), size=n_centroids, replace=False)].copy()
     for _ in range(iters):

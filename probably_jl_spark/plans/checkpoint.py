@@ -13,9 +13,10 @@ The input is split into ``n_buckets`` deterministic hash buckets
 4. merges all bucket rows into the final sketches with a deterministic
    two-level tree: executor-side per-group merges in ascending-bucket
    order (``pmod(bucket, G)`` groups), then a driver fold over the G
-   group states in group order. The driver never sees per-bucket rows —
-   at 100k buckets it receives G ≈ 64 rows, not 100k (VERDICT r01
-   "What's wrong #5").
+   group states in group order. The driver never sees per-bucket *state
+   blobs* — it receives G ≈ 64 merged rows plus the per-bucket lineage
+   scalars (bucket id, n_rows, attempt), capped at ``lineage_limit``
+   entries in the metrics (VERDICT r01 "What's wrong #5").
 
 Because every sketch merge is associative, the per-bucket build is
 deterministic (hash contract + counter-based randomness), and the merge
@@ -58,6 +59,7 @@ class CheckpointedSketchBuild:
         bucket_cols: tuple[str, ...] = ("conv_id",),
         seed: int = 0xC0DE,
         merge_groups: int = 64,
+        lineage_limit: int = 10_000,
     ):
         self.spark = spark
         self.specs = specs
@@ -66,6 +68,7 @@ class CheckpointedSketchBuild:
         self.bucket_cols = bucket_cols
         self.seed = seed
         self.merge_groups = max(1, min(merge_groups, n_buckets))
+        self.lineage_limit = lineage_limit
 
     # ------------------------------------------------------------ state
     def _read_ckpt_eager(self, materialize):
@@ -191,25 +194,28 @@ class CheckpointedSketchBuild:
         # ------------------------------------------------------- merge
         def materialize(ckpt: DataFrame):
             deduped = self._dedup(ckpt)
+            # lineage scalars only (no state blobs), capped for the driver
+            done_count = deduped.count()
             lineage = [
                 {BUCKET_COL: r[BUCKET_COL], "n_rows": r["n_rows"], "attempt": r["attempt"]}
-                for r in sorted(
-                    deduped.select(BUCKET_COL, "n_rows", "attempt").collect(),
-                    key=lambda r: r[BUCKET_COL],
-                )
+                for r in deduped.select(BUCKET_COL, "n_rows", "attempt")
+                .orderBy(BUCKET_COL)
+                .limit(self.lineage_limit)
+                .collect()
             ]
             sketches, n_rows = self._merge_all(deduped)
-            return sketches, n_rows, lineage
+            return sketches, n_rows, lineage, done_count
 
-        sketches, n_rows, lineage = self._read_ckpt_eager(materialize)
+        sketches, n_rows, lineage, done_count = self._read_ckpt_eager(materialize)
         wall = time.perf_counter() - t0
         metrics = {
             "n_rows": n_rows,
             "wall_sec": wall,
             "buckets_total": self.n_buckets,
-            "buckets_done": len(lineage),
+            "buckets_done": done_count,
             "buckets_built_this_run": built_now,
             "lineage": lineage,
+            "lineage_truncated": done_count > len(lineage),
         }
         return BuildResult(sketches=sketches, n_rows=n_rows, metrics=metrics)
 

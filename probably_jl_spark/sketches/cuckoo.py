@@ -451,12 +451,19 @@ def constrain_cuckoo(
         f = minimal_f(fpr)
         len_slots = pow2_at_least(memory / _bytes_per_slot(f))
         capacity = int(0.95 * len_slots)
-    else:  # memory + capacity
+    else:  # memory + capacity (reference mem_capacity, filter.jl:575-585:
+        # capacity is the hard constraint, F maximized under the byte
+        # budget, error when even the narrowest layout exceeds it)
         len_slots = pow2_at_least(capacity / 0.95)
-        # widest fingerprint the remaining byte budget allows
-        f = 32 if memory >= len_slots * _bytes_per_slot(32) else 16
-        if memory < len_slots * _bytes_per_slot(f):
-            len_slots = pow2_at_least(max(capacity / 0.95, 4.0))
+        if memory >= len_slots * _bytes_per_slot(32):
+            f = 32
+        elif memory >= len_slots * _bytes_per_slot(16):
+            f = 16
+        else:
+            raise ValueError(
+                f"Too little memory: {capacity} slots need >= "
+                f"{len_slots * _bytes_per_slot(16)} bytes in this layout"
+            )
     return CuckooPlan(
         len_slots=len_slots,
         f=f,

@@ -36,6 +36,14 @@ from .hashing import SALT_KLL, mix64_scalar
 
 _HDR = struct.Struct("<IQQI")  # k, n, compaction_counter, n_levels
 _C = 2.0 / 3.0
+# Compaction fires only when the GLOBAL item count crosses a multiple of
+# _B (not per update_values call): the state is then a deterministic
+# function of the value sequence alone, independent of how callers slice
+# it into batches — the property the checkpoint resume law needs
+# (plans/checkpoint.py; an Arrow-batch-aligned compaction would make
+# bytes depend on spark.sql.execution.arrow.maxRecordsPerBatch and on
+# which *other* rows a resumed run filtered out).
+_B = 4096
 
 
 class KLL:
@@ -64,9 +72,16 @@ class KLL:
         values = values[~np.isnan(values)]
         if values.size == 0:
             return
-        self.levels[0] = np.concatenate([self.levels[0], values])
-        self.n += values.size
-        self._compress()
+        # append in chunks aligned to global multiples of _B; compress
+        # exactly at the boundaries (see _B note above)
+        i = 0
+        while i < values.size:
+            take = min(values.size - i, _B - (self.n % _B))
+            self.levels[0] = np.concatenate([self.levels[0], values[i : i + take]])
+            self.n += take
+            i += take
+            if self.n % _B == 0:
+                self._compress()
 
     def _compress(self) -> None:
         while sum(lv.size for lv in self.levels) > self._total_capacity():
@@ -163,12 +178,14 @@ class KLL:
         return KLL(self.k, [lv.copy() for lv in self.levels], self.n, self._compactions)
 
     def __eq__(self, other) -> bool:
+        # semantic equality = identical wire form (the level-0 exact tail
+        # is compacted on serialization, so a round-tripped sketch equals
+        # its source even though the resident arrays differ)
         return (
             isinstance(other, KLL)
             and self.k == other.k
             and self.n == other.n
-            and len(self.levels) == len(other.levels)
-            and all(np.array_equal(a, b) for a, b in zip(self.levels, other.levels))
+            and self.to_bytes() == other.to_bytes()
         )
 
     def __hash__(self):
@@ -176,9 +193,18 @@ class KLL:
 
     # ---------------------------------------------------------------- io
     def to_bytes(self) -> bytes:
-        hdr = _HDR.pack(self.k, self.n, self._compactions, len(self.levels))
-        sizes = np.array([lv.size for lv in self.levels], dtype=np.uint32)
-        payload = sizes.tobytes() + b"".join(lv.tobytes() for lv in self.levels)
+        # serialize the compressed form: the level-0 tail (exact items
+        # awaiting the next _B boundary) is compacted in a copy so wire
+        # states stay O(k log n), not O(_B). Deterministic: two runs that
+        # ingested the same value sequence hold identical state here, so
+        # the copy compresses identically.
+        src = self
+        if sum(lv.size for lv in self.levels) > self._total_capacity():
+            src = self.copy()
+            src._compress()
+        hdr = _HDR.pack(src.k, src.n, src._compactions, len(src.levels))
+        sizes = np.array([lv.size for lv in src.levels], dtype=np.uint32)
+        payload = sizes.tobytes() + b"".join(lv.tobytes() for lv in src.levels)
         return codec.wrap(codec.KIND_KLL, hdr, payload)
 
     @classmethod

@@ -25,6 +25,13 @@ import numpy as np
 from . import codec
 
 _HDR = struct.Struct("<dQdd")  # delta, n_centroids, min, max
+# Clustering passes fire only when the GLOBAL unweighted ingest count
+# crosses a multiple of _B: the centroid state is then a deterministic
+# function of the value sequence alone, independent of how callers slice
+# it into batches — the property the checkpoint resume law needs
+# (plans/checkpoint.py). Pending values below the next boundary sit in an
+# exact buffer that queries and serialization fold in via a copy.
+_B = 4096
 
 
 def _k1(q: np.ndarray | float, delta: float):
@@ -32,7 +39,7 @@ def _k1(q: np.ndarray | float, delta: float):
 
 
 class TDigest:
-    __slots__ = ("delta", "means", "weights", "vmin", "vmax")
+    __slots__ = ("delta", "means", "weights", "vmin", "vmax", "_buf", "_buf_n", "_ingested")
 
     def __init__(self, delta: float = 200.0, means=None, weights=None, vmin=math.inf, vmax=-math.inf):
         if delta < 10:
@@ -42,10 +49,13 @@ class TDigest:
         self.weights = np.asarray(weights if weights is not None else [], dtype=np.float64)
         self.vmin = float(vmin)
         self.vmax = float(vmax)
+        self._buf: list[np.ndarray] = []
+        self._buf_n = 0
+        self._ingested = 0
 
     @property
     def n(self) -> float:
-        return float(self.weights.sum())
+        return float(self.weights.sum()) + self._buf_n
 
     # ------------------------------------------------------------- update
     def update_values(self, values: np.ndarray, weights: np.ndarray | None = None) -> None:
@@ -59,12 +69,41 @@ class TDigest:
             return
         self.vmin = min(self.vmin, float(values.min()))
         self.vmax = max(self.vmax, float(values.max()))
-        if weights is None:
-            # unweighted batches: plain value sort (no argsort permutation
-            # needed) is ~14x faster on 64k batches
-            self._merge_sorted(np.sort(values), np.ones(values.size, dtype=np.float64))
-        else:
+        if weights is not None:
+            # weighted inserts (pre-aggregated input) cluster immediately;
+            # the slicing-invariance contract covers the unweighted path
+            self._flush()
             self._merge_sorted(*_presort(values, weights))
+            return
+        # buffer in chunks aligned to global multiples of _B; cluster
+        # exactly at the boundaries (see _B note above)
+        i = 0
+        while i < values.size:
+            take = min(values.size - i, _B - (self._ingested % _B))
+            self._buf.append(values[i : i + take])
+            self._buf_n += take
+            self._ingested += take
+            i += take
+            if self._ingested % _B == 0:
+                self._flush()
+
+    def _flush(self) -> None:
+        if not self._buf_n:
+            return
+        vals = np.concatenate(self._buf) if len(self._buf) > 1 else self._buf[0]
+        self._buf = []
+        self._buf_n = 0
+        # unweighted batches: plain value sort (no argsort permutation
+        # needed) is ~14x faster on 64k batches
+        self._merge_sorted(np.sort(vals), np.ones(vals.size, dtype=np.float64))
+
+    def _flushed(self) -> "TDigest":
+        """Buffer folded in, without mutating the ingest alignment."""
+        if not self._buf_n:
+            return self
+        tmp = self.copy()
+        tmp._flush()
+        return tmp
 
     def _merge_sorted(self, means: np.ndarray, weights: np.ndarray) -> None:
         """Canonical merging pass: combine existing centroids with the
@@ -96,14 +135,18 @@ class TDigest:
     def merge(self, other: "TDigest") -> "TDigest":
         if other.delta != self.delta:
             raise ValueError("t-digest delta mismatch in merge")
-        if other.means.size:
-            self.vmin = min(self.vmin, other.vmin)
-            self.vmax = max(self.vmax, other.vmax)
-            self._merge_sorted(*_presort(other.means, other.weights))
+        self._flush()  # merge ends the ingest stream: fold pending values
+        o = other._flushed()
+        if o.means.size:
+            self.vmin = min(self.vmin, o.vmin)
+            self.vmax = max(self.vmax, o.vmax)
+            self._merge_sorted(*_presort(o.means, o.weights))
         return self
 
     # ------------------------------------------------------------ queries
     def quantile(self, q: float) -> float:
+        if self._buf_n:
+            return self._flushed().quantile(q)
         if self.weights.size == 0:
             return math.nan
         if q <= 0:
@@ -130,6 +173,8 @@ class TDigest:
         return float(lo_v + frac * (hi_v - lo_v))
 
     def cdf(self, x: float) -> float:
+        if self._buf_n:
+            return self._flushed().cdf(x)
         if self.weights.size == 0:
             return math.nan
         if x <= self.vmin:
@@ -151,26 +196,35 @@ class TDigest:
 
     # -------------------------------------------------------- bookkeeping
     def is_empty(self) -> bool:
-        return self.weights.size == 0
+        return self.weights.size == 0 and self._buf_n == 0
 
     def copy(self) -> "TDigest":
-        return TDigest(self.delta, self.means.copy(), self.weights.copy(), self.vmin, self.vmax)
+        c = TDigest(self.delta, self.means.copy(), self.weights.copy(), self.vmin, self.vmax)
+        c._buf = list(self._buf)
+        c._buf_n = self._buf_n
+        c._ingested = self._ingested
+        return c
 
     def __eq__(self, other) -> bool:
-        return (
-            isinstance(other, TDigest)
-            and self.delta == other.delta
-            and bool(np.array_equal(self.means, other.means))
-            and bool(np.array_equal(self.weights, other.weights))
+        if not isinstance(other, TDigest) or self.delta != other.delta:
+            return False
+        a, b = self._flushed(), other._flushed()
+        return bool(np.array_equal(a.means, b.means)) and bool(
+            np.array_equal(a.weights, b.weights)
         )
 
     def __hash__(self):
-        return hash((self.delta, self.means.tobytes()))
+        s = self._flushed()
+        return hash((s.delta, s.means.tobytes()))
 
     # ---------------------------------------------------------------- io
     def to_bytes(self) -> bytes:
-        hdr = _HDR.pack(self.delta, self.means.size, self.vmin, self.vmax)
-        return codec.wrap(codec.KIND_TDIGEST, hdr, self.means.tobytes() + self.weights.tobytes())
+        # the wire form is the flushed (clustered) state: two runs that
+        # ingested the same value sequence are byte-identical here, and
+        # round-trips are canonical (a deserialized digest has no buffer)
+        s = self._flushed()
+        hdr = _HDR.pack(s.delta, s.means.size, s.vmin, s.vmax)
+        return codec.wrap(codec.KIND_TDIGEST, hdr, s.means.tobytes() + s.weights.tobytes())
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "TDigest":

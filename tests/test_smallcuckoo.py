@@ -110,21 +110,31 @@ def test_copy_preserves_subclass_and_format():
 
 def test_codec_linear_time():
     """ADVICE r01: to_bytes/from_bytes must be ~linear in filter size —
-    the default spec size (len=1<<16) round-trips in well under a second
-    (was 1.05s to_bytes alone, growing quadratically)."""
+    the old whole-payload big-int codec was quadratic (1.05s at len=1<<16,
+    4x size => ~16x time). Asymptotic check: 4x the filter must cost well
+    under the quadratic 16x (min-of-3 timings; generous 8x threshold and
+    a loose absolute bound keep this stable under co-tenant load)."""
     import time
 
-    f = SmallCuckooFilter(1 << 16, f=12)
-    f.update_hashes(np.arange(40_000, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-    t0 = time.perf_counter()
-    blob = f.to_bytes()
-    t_enc = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    back = SmallCuckooFilter.from_bytes(blob)
-    t_dec = time.perf_counter() - t0
-    assert np.array_equal(back.buckets.sum(axis=1).astype(bool), f.buckets.sum(axis=1).astype(bool))
-    assert back.to_bytes() == blob
-    assert t_enc < 0.25 and t_dec < 0.25, (t_enc, t_dec)
+    def codec_time(len_slots, n_keys):
+        f = SmallCuckooFilter(len_slots, f=12)
+        f.update_hashes(np.arange(n_keys, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        enc = dec = float("inf")
+        blob = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            blob = f.to_bytes()
+            enc = min(enc, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            back = SmallCuckooFilter.from_bytes(blob)
+            dec = min(dec, time.perf_counter() - t0)
+        assert back.to_bytes() == blob
+        return enc + dec
+
+    t1 = codec_time(1 << 14, 10_000)
+    t4 = codec_time(1 << 16, 40_000)
+    assert t4 < 8 * max(t1, 1e-4), (t1, t4)  # quadratic would be ~16x
+    assert t4 < 2.0  # sanity: the old codec took >2s at this size
 
 
 def test_vectorized_matches_scalar_codec():
