@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, decoded / feature-extracted inside ``mapInPandas``.
 
-The decode step itself is a clearly-marked STUB (this container ships no
-image/audio libraries): ``decoder=None`` raises NotImplementedError, and
-``deterministic_fake_decoder`` produces schema-correct fake features
-derived from xxhash64 of the payload, so the Spark-side plumbing —
-binary schema, Arrow batch shapes, partitioning, UDF signatures — is real
-and fully tested. Swapping in a real decoder (PIL/librosa/ffmpeg) is a
+Decoding: ``real_media_decoder`` REALLY decodes the dependency-free
+formats — PCM WAV audio (stdlib ``wave``), uncompressed 24/32-bit BMP and
+binary PPM images (numpy) — producing true dimensions/duration and
+content-derived features (time-slice RMS for audio, 4x4 mean-pooled
+grayscale for images). Compressed formats (JPEG/PNG/MP3/MP4) need
+external codecs this container does not ship; they raise a clearly-marked
+NotImplementedError, and ``deterministic_fake_decoder`` remains available
+for schema-correct plumbing tests. Swapping in PIL/librosa/ffmpeg is a
 one-argument change with no plan changes.
 """
 
@@ -56,6 +58,154 @@ def deterministic_fake_decoder(kind: str, payload: bytes) -> dict:
         "feature": rs.normal(size=FEATURE_DIM).astype(np.float32),
     }
     return out
+
+
+def _feature_pool_gray(gray: np.ndarray) -> np.ndarray:
+    """4x4 mean-pooled grayscale thumbnail, row-major, scaled to [0,1] —
+    the 16-dim image feature (FEATURE_DIM = 16)."""
+    h, w = gray.shape
+    ys = np.array_split(np.arange(h), 4)
+    xs = np.array_split(np.arange(w), 4)
+    return (
+        np.array([[gray[np.ix_(yy, xx)].mean() for xx in xs] for yy in ys], dtype=np.float32)
+        .ravel()
+        / np.float32(255.0)
+    )
+
+
+def decode_wav(payload: bytes) -> dict:
+    """PCM WAV via the stdlib ``wave`` module: true channel count,
+    duration, and a 16-slice RMS-envelope feature (full-scale units)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        nch, sw, fr, nframes = (
+            w.getnchannels(),
+            w.getsampwidth(),
+            w.getframerate(),
+            w.getnframes(),
+        )
+        raw = w.readframes(nframes)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+    if dtype is None:
+        raise NotImplementedError(f"unsupported WAV sample width {sw}")
+    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if sw == 1:
+        x -= 128.0
+    x = x.reshape(-1, nch).mean(axis=1)  # mono mix
+    scale = 128.0 if sw == 1 else float(1 << (8 * sw - 1))
+    feat = np.array(
+        [np.sqrt((s * s).mean()) if s.size else 0.0 for s in np.array_split(x, FEATURE_DIM)],
+        dtype=np.float32,
+    ) / np.float32(scale)
+    return {
+        "n_bytes": len(payload),
+        "width": 0,
+        "height": 0,
+        "channels": nch,
+        "duration_ms": int(round(nframes / fr * 1000.0)) if fr else 0,
+        "feature": feat,
+    }
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Uncompressed 24/32-bit BMP via numpy (BITMAPINFOHEADER layout):
+    true dimensions and the pooled-grayscale feature."""
+    import struct as _struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = _struct.unpack_from("<I", payload, 10)[0]
+    w, h = _struct.unpack_from("<ii", payload, 18)
+    bpp = _struct.unpack_from("<H", payload, 28)[0]
+    compression = _struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"only uncompressed 24/32-bit BMP (got bpp={bpp})")
+    nch = bpp // 8
+    bottom_up = h > 0
+    h = abs(h)
+    rowsize = ((w * nch + 3) // 4) * 4
+    arr = (
+        np.frombuffer(payload, np.uint8, count=rowsize * h, offset=off)
+        .reshape(h, rowsize)[:, : w * nch]
+        .reshape(h, w, nch)
+    )
+    if bottom_up:
+        arr = arr[::-1]
+    gray = arr[..., :3].mean(axis=2)  # BGR(A) rows; grayscale is order-free
+    return {
+        "n_bytes": len(payload),
+        "width": int(w),
+        "height": int(h),
+        "channels": nch,
+        "duration_ms": 0,
+        "feature": _feature_pool_gray(gray),
+    }
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Binary PPM (P6, maxval <= 255) via numpy."""
+    tokens: list[bytes] = []
+    i = 0
+    while len(tokens) < 4 and i < len(payload):
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to end of line
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(payload[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if magic != b"P6" or maxval > 255:
+        raise NotImplementedError("only binary P6 PPM with maxval <= 255")
+    arr = np.frombuffer(payload, np.uint8, count=w * h * 3, offset=i).reshape(h, w, 3)
+    return {
+        "n_bytes": len(payload),
+        "width": w,
+        "height": h,
+        "channels": 3,
+        "duration_ms": 0,
+        "feature": _feature_pool_gray(arr.mean(axis=2)),
+    }
+
+
+def synth_bmp(width: int, height: int, value: int) -> bytes:
+    """Minimal uncompressed 24-bit solid-color BMP (BITMAPINFOHEADER) —
+    deterministic synthetic payloads for tests/queries."""
+    import struct as _struct
+
+    rowsize = ((width * 3 + 3) // 4) * 4
+    img = np.zeros((height, rowsize), dtype=np.uint8)
+    img[:, : width * 3] = value
+    pixels = img.tobytes()
+    off = 14 + 40
+    header = _struct.pack("<2sIHHI", b"BM", off + len(pixels), 0, 0, off)
+    info = _struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return header + info + pixels
+
+
+def real_media_decoder(kind: str, payload: bytes) -> dict:
+    """Format-sniffing real decoder for the dependency-free formats;
+    compressed formats raise (external codec required — the remaining
+    declared stub surface)."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    raise NotImplementedError(
+        f"no dependency-free decoder for this {kind} payload "
+        f"(magic {payload[:4]!r}); JPEG/PNG/MP3/MP4 need PIL/librosa/ffmpeg"
+    )
 
 
 def extract_media_features(

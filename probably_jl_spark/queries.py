@@ -563,6 +563,32 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bool_row(spark, n_queries=10, recall_above_070=bool(np.mean(recalls) >= 0.7))
 
 
+def media_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real (dependency-free) media decoding through the mapInPandas
+    pipeline: one synthetic solid-color 24-bit BMP per of the first 8
+    doc_ids, decoded by real_media_decoder (operators/multimodal.py). The
+    oracle reproduces the exact dimensions and the pooled-grayscale
+    feature value (value/255, milli-scaled) in SQL."""
+    from .operators.multimodal import extract_media_features, real_media_decoder, synth_bmp
+
+    ids = [
+        int(r["doc_id"])
+        for r in _t(spark, sf_dir, "documents").orderBy("doc_id").limit(8).collect()
+    ]
+    rows = [
+        (i, "image", bytearray(synth_bmp(8, 8, i % 200 + 20)), "{}") for i in ids
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary, meta string")
+    out = extract_media_features(df, decoder=real_media_decoder)
+    return out.select(
+        F.col("media_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        F.round(F.element_at("feature", 1) * 1000).cast("long").alias("feature0_milli"),
+    )
+
+
 def token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import token_count
 
@@ -603,6 +629,7 @@ def training_queries() -> dict:
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_recall": ann_lsh_recall,
         "ann_ivf_recall": ann_ivf_recall,
+        "media_decode_bmp": media_decode_bmp,
         "token_count_docs": token_count_docs,
         "quality_score_docs": quality_score_docs,
         "fingerprint_docs": fingerprint_docs,
@@ -647,6 +674,12 @@ def training_oracles() -> dict:
         ),
         "ann_ivf_recall": (
             "SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_above_070"
+        ),
+        "media_decode_bmp": (
+            "SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(8 AS BIGINT) AS width, "
+            "CAST(8 AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels, "
+            "CAST(ROUND(((doc_id % 200 + 20) / 255.0) * 1000) AS BIGINT) AS feature0_milli "
+            "FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 8)"
         ),
         "token_count_docs": (
             "SELECT doc_id, CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "

@@ -107,3 +107,100 @@ def test_frame_sample_plan(spark):
 
 def test_fake_decoder_is_marked_stub():
     assert "STUB" in deterministic_fake_decoder.__doc__
+
+
+# ------------------------------------------------- real decoders (round 2)
+
+
+def _make_wav(freq=440.0, seconds=0.5, rate=8000, nch=1):
+    import io
+    import wave
+
+    import numpy as np
+
+    t = np.arange(int(rate * seconds)) / rate
+    x = (np.sin(2 * np.pi * freq * t) * 0.5 * 32767).astype(np.int16)
+    if nch == 2:
+        x = np.column_stack([x, x]).ravel()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def _make_bmp(width=8, height=8, value=200):
+    import struct
+
+    import numpy as np
+
+    rowsize = ((width * 3 + 3) // 4) * 4
+    img = np.full((height, rowsize), 0, dtype=np.uint8)
+    img[:, : width * 3] = value
+    pixels = img.tobytes()
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(pixels), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    return header + info + pixels
+
+
+def _make_ppm(width=6, height=4, rgb=(10, 20, 30)):
+    import numpy as np
+
+    arr = np.zeros((height, width, 3), dtype=np.uint8)
+    arr[:] = rgb
+    return f"P6\n{width} {height}\n255\n".encode() + arr.tobytes()
+
+
+def test_real_decoders_scalar():
+    """WAV/BMP/PPM decode with true dimensions and content-derived
+    features — no external libraries."""
+    import numpy as np
+
+    from probably_jl_spark.operators.multimodal import real_media_decoder
+
+    wav = real_media_decoder("audio", _make_wav(seconds=0.5, rate=8000))
+    assert wav["channels"] == 1 and wav["duration_ms"] == 500
+    # RMS of a 0.5-amplitude sine is 0.5/sqrt(2) of full scale
+    assert all(abs(f - 0.5 / np.sqrt(2)) < 0.01 for f in wav["feature"])
+
+    stereo = real_media_decoder("audio", _make_wav(nch=2))
+    assert stereo["channels"] == 2
+
+    bmp = real_media_decoder("image", _make_bmp(8, 8, value=200))
+    assert (bmp["width"], bmp["height"], bmp["channels"]) == (8, 8, 3)
+    assert all(abs(f - 200 / 255) < 1e-6 for f in bmp["feature"])
+
+    ppm = real_media_decoder("image", _make_ppm(6, 4, (10, 20, 30)))
+    assert (ppm["width"], ppm["height"]) == (6, 4)
+    assert all(abs(f - 20 / 255) < 1e-6 for f in ppm["feature"])
+
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        real_media_decoder("image", b"\x89PNG\r\n\x1a\nxxxx")
+
+
+def test_real_decoder_through_spark(spark):
+    """End-to-end: binary payloads through the mapInPandas pipeline with
+    the REAL decoder."""
+    from probably_jl_spark.operators.multimodal import (
+        extract_media_features,
+        real_media_decoder,
+    )
+
+    rows = [
+        (1, "audio", bytearray(_make_wav(seconds=0.25, rate=8000)), "{}"),
+        (2, "image", bytearray(_make_bmp(16, 8, value=100)), "{}"),
+        (3, "image", bytearray(_make_ppm(5, 5, (255, 255, 255))), "{}"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary, meta string")
+    out = (
+        extract_media_features(df, decoder=real_media_decoder)
+        .toPandas()
+        .set_index("media_id")
+        .sort_index()
+    )
+    assert out.loc[1, "duration_ms"] == 250
+    assert (out.loc[2, "width"], out.loc[2, "height"]) == (16, 8)
+    assert abs(out.loc[3, "feature"][0] - 1.0) < 1e-6  # white image
