@@ -326,3 +326,79 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ------------------------------------------------- duplicate clusters
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into clusters: (id, cluster_rep) where rep
+    is the minimum id reachable through the pair graph — the step that
+    turns pairwise dedup output into a keep/drop decision.
+
+    Spark-first iterative min-label propagation: each round joins labels
+    to the (bidirected) edge list, takes the per-vertex min over
+    neighbors, and stops when no label changed. Rounds = graph diameter;
+    LSH dup clusters are near-cliques (diameter 1-2), so 2-3 rounds
+    close the fixpoint at any corpus size — each round is one shuffle
+    join + one aggregation, no driver-side graph state. localCheckpoint
+    cuts the iterative lineage so plans stay flat at 100 TB. (For
+    adversarial long-chain graphs the alternating small-star/large-star
+    algorithm [Kiveris et al., "Connected Components in MapReduce",
+    SoCC'14] converges in O(log n) rounds — dup graphs don't need it.)
+
+    Input: (id_a, id_b) pairs. Output: one row per id appearing in any
+    pair, with its cluster_rep; isolated docs are absent (caller left-
+    joins and coalesces to self, see dedup_assign)."""
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    edges = edges.distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias(id_col))
+        .distinct()
+        .withColumn("cluster_rep", F.col(id_col))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels, edges.src == F.col(id_col))
+            .groupBy("dst")
+            .agg(F.min("cluster_rep").alias("__nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels[id_col] == nbr_min.dst, "left")
+            .select(
+                F.col(id_col),
+                F.least(F.col("cluster_rep"), F.coalesce("__nbr_min", "cluster_rep")).alias(
+                    "cluster_rep"
+                ),
+                (F.col("__nbr_min") < F.col("cluster_rep")).alias("__chg"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("__chg")).limit(1).count()
+        labels = new_labels.drop("__chg")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_assign(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Adds ``cluster_rep`` to every doc: min reachable id through the
+    near-dup pair graph, or the doc's own id when it has no duplicates.
+    ``keep = (cluster_rep == id)`` is the standard one-per-cluster
+    training-data dedup policy."""
+    comp = connected_components(pairs, id_col)
+    return (
+        df.join(comp, id_col, "left")
+        .withColumn("cluster_rep", F.coalesce("cluster_rep", F.col(id_col)))
+        .withColumn("keep", F.col("cluster_rep") == F.col(id_col))
+    )

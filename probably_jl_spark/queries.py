@@ -487,6 +487,23 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b")  # jaccard doubles excluded: hash-stable
 
 
+def dup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair resolution into clusters (iterative min-label
+    connected components, operators/dedup.py): every doc gets the minimum
+    id reachable through the >= 0.8-Jaccard pair graph, keep = own id.
+    Oracle = DuckDB recursive CTE over the exact all-pairs Jaccard edge
+    set — matching proves pair recall AND the fixpoint of the distributed
+    label propagation."""
+    from .operators.dedup import dedup_assign, minhash_near_dups
+
+    docs = _aug_docs(spark, sf_dir)
+    pairs = minhash_near_dups(docs, threshold=0.8, n_hashes=64, bands=32)
+    out = dedup_assign(docs, pairs)
+    return out.select(
+        "doc_id", F.col("cluster_rep").cast("long").alias("cluster_rep"), "keep"
+    )
+
+
 def simhash_dups_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at hamming <= 2. Exact text duplicates have
     hamming 0, so the injected pairs are a guaranteed subset; the oracle
@@ -625,6 +642,7 @@ def training_queries() -> dict:
     return {
         "exact_dedup_docs": exact_dedup_docs,
         "minhash_near_dup_pairs": minhash_near_dup_pairs,
+        "dup_cluster_assign": dup_cluster_assign,
         "simhash_dups_docs": simhash_dups_docs,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_recall": ann_lsh_recall,
@@ -657,6 +675,19 @@ def training_oracles() -> dict:
             "ON a.doc_id < b.doc_id "
             "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
             "greatest(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 1) >= 0.8"
+        ),
+        "dup_cluster_assign": (
+            f"WITH RECURSIVE aug AS ({_AUG_DOCS_SQL}), "
+            f"sh AS (SELECT doc_id, {shingle} AS s FROM aug), "
+            "edges AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM sh a JOIN sh b "
+            "ON a.doc_id < b.doc_id "
+            "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
+            "greatest(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 1) >= 0.8), "
+            "bidir AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges), "
+            "reach AS (SELECT doc_id AS id, doc_id AS label FROM aug "
+            "UNION SELECT e.dst AS id, r.label FROM reach r JOIN bidir e ON e.src = r.id) "
+            "SELECT id AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_rep, "
+            "MIN(label) = id AS keep FROM reach GROUP BY id"
         ),
         "simhash_dups_docs": (
             "SELECT doc_id AS id_a, doc_id + 100000 AS id_b, TRUE AS simhash_found_all "

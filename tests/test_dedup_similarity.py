@@ -224,3 +224,22 @@ def test_ann_ivf_recall(spark, emb):
         a = set(a1[a1.query_id == q].neighbor_id)
         recalls.append(len(e & a) / len(e))
     assert np.mean(recalls) >= 0.7, f"mean recall {np.mean(recalls)}"
+
+
+def test_connected_components_and_dedup_assign(spark):
+    """Cluster resolution laws: chain transitivity (a-b, b-c => one
+    cluster), separate components stay separate, isolated docs keep
+    themselves, exactly one keep per cluster."""
+    from probably_jl_spark.operators.dedup import connected_components, dedup_assign
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r.doc_id: r.cluster_rep for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 11, 99)], "doc_id long")
+    out = dedup_assign(docs, pairs).toPandas().set_index("doc_id")
+    assert out.loc[99, "cluster_rep"] == 99 and bool(out.loc[99, "keep"])
+    assert set(out[out.keep].index) == {1, 10, 99}  # one keeper per cluster
+    assert (out.groupby("cluster_rep").keep.sum() == 1).all()
