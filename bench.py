@@ -33,11 +33,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SMALL = max(2, CPUS // 4)
 CACHE = os.path.join(REPO, ".bench_cache")
-N_CONVS = int(os.environ.get("PJS_BENCH_CONVS", "20000000"))  # ~77M turns
-# At the 10^12-turn target regime a leg runs for hours, so per-job fixed
-# costs (scheduling waves, tree-merge, driver) are noise; a 77M-turn
-# input keeps the wide leg >10s so measured efficiency reflects the
-# work, not the floor. Long legs need fewer repetitions.
+# Profiles: the per-round driver bench (sf0.1) uses the 77M-turn input —
+# at the 10^12-turn target regime a leg runs for hours, so per-job fixed
+# costs (scheduling waves, tree-merge, driver) are noise, and a 77M-turn
+# input keeps the wide leg >10s so measured efficiency reflects the work,
+# not the floor (long legs need fewer repetitions). Any other SF dir
+# (sf0.01 smoke checks) runs a QUICK profile: small cached input, one
+# round per leg, so the whole bench fits a ~10-minute budget.
+QUICK = not SF_DIR.rstrip("/").endswith("0.1")
+N_CONVS = int(os.environ.get("PJS_BENCH_CONVS", "3000000" if QUICK else "20000000"))
 _LONG = N_CONVS >= 10_000_000
 
 
@@ -199,9 +203,9 @@ def run_cluster_leg(n_executors: int, warmups: int | None = None, runs: int | No
     app => fresh executor JVMs; warm-ups cover executor JIT + python
     worker spawn; min-of-N vs co-tenant noise."""
     if warmups is None:
-        warmups = 1 if _LONG else 3
+        warmups = 1 if (_LONG or QUICK) else 3
     if runs is None:
-        runs = 2 if _LONG else 4
+        runs = 2 if (_LONG or QUICK) else 4
     spark = make_cluster_session(n_executors)
     spark.sparkContext.setLogLevel("ERROR")
     path = transcripts_path()
@@ -261,7 +265,7 @@ def run_bench() -> dict:
             # across interleaved rounds is interference-robust. Load is
             # sampled BEFORE each leg (sampling after folds the leg's own
             # threads into the 1-min average).
-            for rnd in range(2 if _LONG else 3):
+            for rnd in range(1 if QUICK else (2 if _LONG else 3)):
                 for nex in (EX_SMALL, EX_LARGE):
                     loadavgs.append(round(os.getloadavg()[0], 1))
                     out = subprocess.run(
@@ -305,7 +309,7 @@ def run_bench() -> dict:
 
     # secondary series: local-mode thread scaling (r01 continuity)
     local_samples: dict[int, list[float]] = {2: [], SMALL: [], CPUS: []}
-    for rnd in range(2):
+    for rnd in range(1 if QUICK else 2):
         for cores in (2, SMALL, CPUS):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--leg", str(cores)],
@@ -604,5 +608,6 @@ if __name__ == "__main__":
         spark.stop()
     else:
         result = run_bench()
-        write_bench_md(result)
+        if not QUICK:  # smoke runs must not clobber the definitive report
+            write_bench_md(result)
         print(json.dumps(result))
