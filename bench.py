@@ -37,10 +37,17 @@ CACHE = os.path.join(REPO, ".bench_cache")
 # at the 10^12-turn target regime a leg runs for hours, so per-job fixed
 # costs (scheduling waves, tree-merge, driver) are noise, and a 77M-turn
 # input keeps the wide leg >10s so measured efficiency reflects the work,
-# not the floor (long legs need fewer repetitions). Any other SF dir
-# (sf0.01 smoke checks) runs a QUICK profile: small cached input, one
-# round per leg, so the whole bench fits a ~10-minute budget.
-QUICK = not SF_DIR.rstrip("/").endswith("0.1")
+# not the floor (long legs need fewer repetitions). The small smoke dirs
+# (sf0.01 / sf0.001 verify checks) run a QUICK profile: small cached
+# input, one round per leg, no BENCH.md overwrite, fits a ~10-minute
+# budget. Unknown dirs default to the FULL profile (safe: the definitive
+# report is never silently weakened). PJS_BENCH_PROFILE=quick|full
+# overrides.
+_profile = os.environ.get("PJS_BENCH_PROFILE", "").lower()
+if _profile in ("quick", "full"):
+    QUICK = _profile == "quick"
+else:
+    QUICK = os.path.basename(SF_DIR.rstrip("/")) in ("sf0.01", "sf0.001")
 N_CONVS = int(os.environ.get("PJS_BENCH_CONVS", "3000000" if QUICK else "20000000"))
 _LONG = N_CONVS >= 10_000_000
 

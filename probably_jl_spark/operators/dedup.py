@@ -232,7 +232,13 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         pend_id = None
         pend_ones = None
         pend_n = 0
-        seen: set[int] = set()  # finished ids (duplicate-id guard)
+        # duplicate-id guard: exact within each batch (np.unique) and
+        # across batches via `seen`, capped so a task over a huge
+        # partition cannot OOM on the guard itself — beyond the cap the
+        # cross-batch check degrades (within-batch stays exact), which
+        # covers the realistic ~<=1M-docs-per-128MB-partition regime
+        _SEEN_CAP = 2_000_000
+        seen: set[int] = set()
 
         def finish(ids_arr, ones_mat, counts):
             votes = 2 * ones_mat - counts[:, None]
@@ -249,6 +255,13 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
             seg_ids = ids[starts]
             counts = np.diff(np.concatenate([starts, [ids.size]]))
             ones = _segment_bit_ones(flat, starts)
+            # within-batch: a repeated segment id = non-adjacent dup rows
+            if np.unique(seg_ids).size != seg_ids.size:
+                u, c = np.unique(seg_ids, return_counts=True)
+                raise ValueError(
+                    f"simhash: id(s) {u[c > 1][:3].tolist()} appear in "
+                    "non-adjacent rows — one row per id required (see docstring)"
+                )
             fresh = seg_ids if pend_id is None or seg_ids[0] != pend_id else seg_ids[1:]
             dup = [int(i) for i in fresh.tolist() if i in seen]
             if dup:
@@ -256,7 +269,8 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
                     f"simhash: id(s) {dup[:3]} appear in non-adjacent rows — "
                     "one row per id required (see docstring)"
                 )
-            seen.update(int(i) for i in fresh.tolist())
+            if len(seen) < _SEEN_CAP:
+                seen.update(int(i) for i in fresh.tolist())
             if pend_id is not None and seg_ids[0] == pend_id:
                 ones[0] += pend_ones
                 counts[0] += pend_n
@@ -383,8 +397,14 @@ def connected_components(
         changed = new_labels.filter(F.col("__chg")).limit(1).count()
         labels = new_labels.drop("__chg")
         if changed == 0:
-            break
-    return labels
+            return labels
+    # silent non-convergence would let duplicates survive dedup_assign
+    # (multiple keep=True rows in one cluster) — fail loudly instead
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds "
+        "(graph diameter exceeds max_iterations — raise it, or use "
+        "star-contraction for adversarial long-chain graphs)"
+    )
 
 
 def dedup_assign(

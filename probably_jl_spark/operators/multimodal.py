@@ -62,8 +62,15 @@ def deterministic_fake_decoder(kind: str, payload: bytes) -> dict:
 
 def _feature_pool_gray(gray: np.ndarray) -> np.ndarray:
     """4x4 mean-pooled grayscale thumbnail, row-major, scaled to [0,1] —
-    the 16-dim image feature (FEATURE_DIM = 16)."""
+    the 16-dim image feature (FEATURE_DIM = 16). Images smaller than 4px
+    on a side repeat rows/columns instead of producing empty (NaN) pools."""
     h, w = gray.shape
+    if h < 4:
+        gray = gray[np.arange(4) * h // 4]
+        h = 4
+    if w < 4:
+        gray = gray[:, np.arange(4) * w // 4]
+        w = 4
     ys = np.array_split(np.arange(h), 4)
     xs = np.array_split(np.arange(w), 4)
     return (

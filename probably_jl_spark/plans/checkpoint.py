@@ -195,7 +195,6 @@ class CheckpointedSketchBuild:
         def materialize(ckpt: DataFrame):
             deduped = self._dedup(ckpt)
             # lineage scalars only (no state blobs), capped for the driver
-            done_count = deduped.count()
             lineage = [
                 {BUCKET_COL: r[BUCKET_COL], "n_rows": r["n_rows"], "attempt": r["attempt"]}
                 for r in deduped.select(BUCKET_COL, "n_rows", "attempt")
@@ -203,6 +202,10 @@ class CheckpointedSketchBuild:
                 .limit(self.lineage_limit)
                 .collect()
             ]
+            # the separate count() action is only needed when the cap hid rows
+            done_count = (
+                len(lineage) if len(lineage) < self.lineage_limit else deduped.count()
+            )
             sketches, n_rows = self._merge_all(deduped)
             return sketches, n_rows, lineage, done_count
 

@@ -80,7 +80,9 @@ class TDigest:
         i = 0
         while i < values.size:
             take = min(values.size - i, _B - (self._ingested % _B))
-            self._buf.append(values[i : i + take])
+            # copy: a view would alias the caller's (reusable) array and
+            # pin the whole backing Arrow batch until the next flush
+            self._buf.append(values[i : i + take].copy())
             self._buf_n += take
             self._ingested += take
             i += take

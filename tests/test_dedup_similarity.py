@@ -243,3 +243,26 @@ def test_connected_components_and_dedup_assign(spark):
     assert out.loc[99, "cluster_rep"] == 99 and bool(out.loc[99, "keep"])
     assert set(out[out.keep].index) == {1, 10, 99}  # one keeper per cluster
     assert (out.groupby("cluster_rep").keep.sum() == 1).all()
+
+
+def test_simhash_duplicate_id_raises(spark):
+    """Review r02: non-adjacent duplicate ids must raise (within one
+    batch), not silently emit two partial simhashes."""
+    rows = [(7, "alpha beta"), (8, "gamma delta"), (7, "epsilon zeta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    with pytest.raises(Exception, match="non-adjacent"):
+        simhash(df).collect()
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A chain longer than max_iterations must fail loudly, not return
+    labels that let duplicates survive."""
+    from probably_jl_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=2)
+    ok = connected_components(chain, max_iterations=10)
+    assert {r.cluster_rep for r in ok.collect()} == {0}

@@ -221,3 +221,20 @@ def test_batch_slicing_invariance():
         kll_bytes.add(kl.to_bytes())
     assert len(td_bytes) == 1, "t-digest bytes depend on batch slicing"
     assert len(kll_bytes) == 1, "KLL bytes depend on batch slicing"
+
+
+def test_tdigest_buffer_does_not_alias_caller_array():
+    """Review r02: buffered pending values must be copies — mutating the
+    caller's array between updates must not change the digest."""
+    rng = np.random.default_rng(9)
+    b1, b2 = rng.random(1000), rng.random(1000)
+    scratch = np.empty(1000)
+    td_scratch = TDigest(200.0)
+    scratch[:] = b1
+    td_scratch.update_values(scratch)
+    scratch[:] = b2  # caller reuses its buffer
+    td_scratch.update_values(scratch)
+    td_fresh = TDigest(200.0)
+    td_fresh.update_values(b1)
+    td_fresh.update_values(b2)
+    assert td_scratch.to_bytes() == td_fresh.to_bytes()

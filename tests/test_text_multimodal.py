@@ -132,18 +132,11 @@ def _make_wav(freq=440.0, seconds=0.5, rate=8000, nch=1):
 
 
 def _make_bmp(width=8, height=8, value=200):
-    import struct
+    # the production encoder: the test must decode exactly what the
+    # library's own payload synthesizer produces
+    from probably_jl_spark.operators.multimodal import synth_bmp
 
-    import numpy as np
-
-    rowsize = ((width * 3 + 3) // 4) * 4
-    img = np.full((height, rowsize), 0, dtype=np.uint8)
-    img[:, : width * 3] = value
-    pixels = img.tobytes()
-    off = 14 + 40
-    header = struct.pack("<2sIHHI", b"BM", off + len(pixels), 0, 0, off)
-    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
-    return header + info + pixels
+    return synth_bmp(width, height, value)
 
 
 def _make_ppm(width=6, height=4, rgb=(10, 20, 30)):
@@ -204,3 +197,17 @@ def test_real_decoder_through_spark(spark):
     assert out.loc[1, "duration_ms"] == 250
     assert (out.loc[2, "width"], out.loc[2, "height"]) == (16, 8)
     assert abs(out.loc[3, "feature"][0] - 1.0) < 1e-6  # white image
+
+
+def test_tiny_image_features_no_nan():
+    """Review r02: images smaller than the 4x4 pool grid must yield
+    finite features, not NaNs."""
+    import numpy as np
+
+    from probably_jl_spark.operators.multimodal import real_media_decoder, synth_bmp
+
+    for w, h in ((2, 2), (1, 5), (3, 1)):
+        out = real_media_decoder("image", synth_bmp(w, h, 50))
+        assert (out["width"], out["height"]) == (w, h)
+        assert np.isfinite(out["feature"]).all()
+        assert all(abs(f - 50 / 255) < 1e-6 for f in out["feature"])
