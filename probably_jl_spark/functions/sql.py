@@ -1,0 +1,101 @@
+"""SQL-facing sketch estimators: query serialized state columns from pure
+``spark.sql`` — the surface that makes a sketch-state table (grouped
+builds, checkpoints, streaming sinks) usable without the Python API.
+
+``register_sketch_sql_functions(spark)`` registers vectorized pandas UDFs
+(Arrow-batched; every distinct blob in a batch is deserialized once via a
+per-batch cache, so a state table with few distinct groups pays one
+decode per group, not per row):
+
+    SELECT role, pjs_cardinality(state_convs)          FROM role_states
+    SELECT pjs_count(state_freq, 'assistant')          FROM global_state
+    SELECT pjs_contains(state_member, conv_id)         FROM probes, global_state
+    SELECT pjs_quantile(state_len, 0.99)               FROM role_states
+    SELECT pjs_merge(a.state, b.state)                 -- pairwise re-merge
+
+Keys are strings on the SQL surface (matching Spark's own SQL coercion
+habits); builds keyed on numeric columns should query through the typed
+Python API (functions.batch_contains / batch_query_counts) instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.specs import merge_blobs, sketch_from_bytes
+from ..sketches.hashing import xxhash64_any
+
+
+def _blob_cache(fn):
+    """Apply fn once per distinct blob in the batch."""
+
+    def apply(blobs: pd.Series, *args) -> list:
+        cache: dict[bytes, object] = {}
+        out = []
+        for i, b in enumerate(blobs):
+            if b is None:
+                out.append(None)
+                continue
+            key = bytes(b)
+            if key not in cache:
+                cache[key] = sketch_from_bytes(key)
+            out.append(fn(cache[key], *(a.iloc[i] for a in args)))
+        return out
+
+    return apply
+
+
+def register_sketch_sql_functions(spark: SparkSession, prefix: str = "pjs_") -> list[str]:
+    """Register the estimator UDFs; returns the registered names."""
+
+    @F.pandas_udf("double")
+    def _cardinality(blobs: pd.Series) -> pd.Series:
+        def est(sk):
+            return float(sk.cardinality())
+
+        return pd.Series(_blob_cache(est)(blobs), dtype="float64")
+
+    @F.pandas_udf("long")
+    def _count(blobs: pd.Series, keys: pd.Series) -> pd.Series:
+        def q(sk, key):
+            return int(sk.query_hashes(np.array([xxhash64_any(str(key))], dtype=np.uint64))[0])
+
+        return pd.Series(_blob_cache(q)(blobs, keys), dtype="Int64").astype("int64")
+
+    @F.pandas_udf("boolean")
+    def _contains(blobs: pd.Series, keys: pd.Series) -> pd.Series:
+        def c(sk, key):
+            return bool(sk.contains_hashes(np.array([xxhash64_any(str(key))], dtype=np.uint64))[0])
+
+        return pd.Series(_blob_cache(c)(blobs, keys), dtype="boolean")
+
+    @F.pandas_udf("double")
+    def _quantile(blobs: pd.Series, qs: pd.Series) -> pd.Series:
+        def quant(sk, q):
+            return float(sk.quantile(float(q)))
+
+        return pd.Series(_blob_cache(quant)(blobs, qs), dtype="float64")
+
+    @F.pandas_udf("binary")
+    def _merge(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                merge_blobs(None if x is None else bytes(x), None if y is None else bytes(y))
+                for x, y in zip(a, b)
+            ]
+        )
+
+    names = []
+    for name, udf in (
+        ("cardinality", _cardinality),
+        ("count", _count),
+        ("contains", _contains),
+        ("quantile", _quantile),
+        ("merge", _merge),
+    ):
+        spark.udf.register(prefix + name, udf)
+        names.append(prefix + name)
+    return names

@@ -318,6 +318,50 @@ def grouped_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------- merge laws
 
 
+def sql_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL surface (functions/sql.py): a grouped sketch-state table is
+    queried from pure spark.sql via the registered pjs_* estimator UDFs;
+    the estimates are then bound-checked Spark-side against exact values
+    the oracle reproduces."""
+    from .functions.sql import register_sketch_sql_functions
+
+    register_sketch_sql_functions(spark)
+    ev = _t(spark, sf_dir, "events")
+    grouped_sketch(
+        ev,
+        ["event_type"],
+        [
+            SketchSpec("u", "hll", key_cols=("user_id",)),
+            SketchSpec("v", "kll", value_col="value"),
+        ],
+    ).createOrReplaceTempView("pjs_states")
+    est = {
+        r["event_type"]: (r["est"], r["p50"])
+        for r in spark.sql(
+            "SELECT event_type, pjs_cardinality(state_u) AS est, "
+            "pjs_quantile(state_v, 0.5) AS p50 FROM pjs_states"
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    rows = []
+    for t in sorted(est):
+        e, p50 = est[t]
+        n = exact[t]
+        hll_ok = abs(e - n) / max(n, 1) <= HLL_BOUND
+        grp = ev.filter(F.col("event_type") == t)
+        total = grp.count()
+        below = grp.filter(F.col("value") <= float(p50)).count()
+        kll_ok = abs(below / max(total, 1) - 0.5) <= 2.0 / 200 + 1.0 / max(total, 1)
+        rows.append((t, int(n), bool(hll_ok), bool(kll_ok)))
+    return spark.createDataFrame(
+        rows,
+        "event_type string, exact_distinct bigint, hll_within_bound boolean, kll_p50_within_bound boolean",
+    )
+
+
 def merge_laws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed property check: states built on different partition
     layouts and merged in different orders are identical; serialization
@@ -379,6 +423,7 @@ def sketch_queries() -> dict:
         "grouped_quantiles_by_type": grouped_quantiles_by_type,
         "kll_nchars_quantiles": kll_nchars_quantiles,
         "latency_quantiles": latency_quantiles,
+        "sql_estimators": sql_estimators,
         "merge_laws": merge_laws,
     }
 
@@ -436,6 +481,11 @@ def sketch_oracles() -> dict:
             "SELECT * FROM (VALUES "
             + ", ".join(f"('{q}', TRUE, TRUE)" for q in QS)
             + ") AS t(q, tdigest_ok, kll_ok)"
+        ),
+        "sql_estimators": (
+            "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct, "
+            "TRUE AS hll_within_bound, TRUE AS kll_p50_within_bound "
+            "FROM events GROUP BY event_type"
         ),
         "merge_laws": (
             "SELECT TRUE AS layout_invariant, TRUE AS merge_commutative, "

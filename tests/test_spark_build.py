@@ -255,3 +255,50 @@ def test_grouped_no_row_shuffle(spark, events):
     assert plan.count("Exchange") == 1
     before_exchange = plan.split("Exchange")[-1]  # bottom of the plan tree
     assert "MapInPandas" in before_exchange
+
+
+def test_sql_estimator_functions(spark, events):
+    """functions/sql.py: the pjs_* SQL UDFs must agree with the Python
+    estimator API on the same states (string-keyed build so the SQL
+    string keys hash identically to the build)."""
+    from probably_jl_spark.functions.sql import register_sketch_sql_functions
+    from probably_jl_spark.operators.specs import sketch_from_bytes
+
+    register_sketch_sql_functions(spark)
+    ev = events.withColumn("et", F.col("event_type"))
+    specs = [
+        SketchSpec("u", "hll", key_cols=("user_id",)),
+        SketchSpec("c", "cms", key_cols=("et",)),
+        SketchSpec("b", "bloom", key_cols=("et",), params={"m": 1 << 14, "k": 4}),
+        SketchSpec("v", "kll", value_col="value"),
+    ]
+    grouped_sketch(ev, ["event_type"], specs).createOrReplaceTempView("st")
+
+    rows = spark.sql(
+        "SELECT event_type, pjs_cardinality(state_u) AS card, "
+        "pjs_count(state_c, event_type) AS cnt, "
+        "pjs_contains(state_b, event_type) AS member, "
+        "pjs_contains(state_b, 'definitely-absent-key') AS absent, "
+        "pjs_quantile(state_v, 0.5) AS p50, "
+        "state_u FROM st"
+    ).collect()
+    for r in rows:
+        sk = sketch_from_bytes(bytes(r["state_u"]))
+        assert r["card"] == sk.cardinality()
+        assert r["member"] is True  # no false negatives
+        assert r["absent"] is False or True  # bloom may false-positive, never crash
+        assert r["cnt"] >= 1  # CMS of the group's own key: at least its rows
+        assert r["p50"] == r["p50"]  # not NaN
+
+    # pairwise SQL merge == python merge
+    merged = spark.sql(
+        "SELECT pjs_cardinality(pjs_merge(a.state_u, b.state_u)) AS m "
+        "FROM st a JOIN st b ON a.event_type = 'click' AND b.event_type = 'error'"
+    ).collect()[0]["m"]
+    pa, pb = (
+        sketch_from_bytes(
+            bytes(spark.sql(f"SELECT state_u FROM st WHERE event_type = '{t}'").collect()[0][0])
+        )
+        for t in ("click", "error")
+    )
+    assert merged == pa.merge(pb).cardinality()
