@@ -314,9 +314,11 @@ def run_bench() -> dict:
     else:
         log("standalone cluster unavailable; falling back to local-mode pair only")
 
-    # secondary series: local-mode thread scaling (r01 continuity)
+    # secondary series: local-mode thread scaling (r01 continuity);
+    # single round in the long/quick profiles (the cluster pair above is
+    # the headline; this series only documents the single-JVM gap)
     local_samples: dict[int, list[float]] = {2: [], SMALL: [], CPUS: []}
-    for rnd in range(1 if QUICK else 2):
+    for rnd in range(1 if (QUICK or _LONG) else 2):
         for cores in (2, SMALL, CPUS):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--leg", str(cores)],
