@@ -63,7 +63,8 @@ def register_sketch_sql_functions(spark: SparkSession, prefix: str = "pjs_") -> 
         def q(sk, key):
             return int(sk.query_hashes(np.array([xxhash64_any(str(key))], dtype=np.uint64))[0])
 
-        return pd.Series(_blob_cache(q)(blobs, keys), dtype="Int64").astype("int64")
+        # nullable Int64: a NULL state blob yields NULL, not a crash
+        return pd.Series(_blob_cache(q)(blobs, keys), dtype="Int64")
 
     @F.pandas_udf("boolean")
     def _contains(blobs: pd.Series, keys: pd.Series) -> pd.Series:

@@ -302,3 +302,21 @@ def test_sql_estimator_functions(spark, events):
         for t in ("click", "error")
     )
     assert merged == pa.merge(pb).cardinality()
+
+
+def test_sql_estimators_null_blobs(spark):
+    """NULL state blobs yield NULL estimates, never a crash (nullable
+    Int64 return path)."""
+    import numpy as np
+
+    from probably_jl_spark.functions.sql import register_sketch_sql_functions
+    from probably_jl_spark.sketches.cms import CountMinSketch
+    from probably_jl_spark.sketches.hashing import xxhash64_any
+
+    register_sketch_sql_functions(spark)
+    c = CountMinSketch(256, 3)
+    c.update_hashes(np.array([xxhash64_any("k")] * 5, dtype=np.uint64))
+    df = spark.createDataFrame([(1, bytearray(c.to_bytes())), (2, None)], "id long, st binary")
+    df.createOrReplaceTempView("t_null_blob")
+    rows = spark.sql("SELECT id, pjs_count(st, 'k') AS n FROM t_null_blob").collect()
+    assert dict((r.id, r.n) for r in rows) == {1: 5, 2: None}
