@@ -14,8 +14,11 @@ decode per group, not per row):
     SELECT pjs_merge(a.state, b.state)                 -- pairwise re-merge
 
 Keys are strings on the SQL surface (matching Spark's own SQL coercion
-habits); builds keyed on numeric columns should query through the typed
-Python API (functions.batch_contains / batch_query_counts) instead.
+habits); a NULL key queries the NULL group exactly as the JVM build
+hashed NULL rows; builds keyed on numeric columns should query through
+the typed Python API (functions.batch_contains / batch_query_counts)
+instead. Wrong sketch kinds raise clear TypeErrors (same contract as the
+driver-side estimators in functions/__init__.py).
 """
 
 from __future__ import annotations
@@ -26,7 +29,30 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.specs import merge_blobs, sketch_from_bytes
+from ..sketches.bloom import BloomFilter
+from ..sketches.cms import CountMinSketch
+from ..sketches.cuckoo import CuckooFilter
 from ..sketches.hashing import xxhash64_any
+from ..sketches.hll import HyperLogLog
+from ..sketches.kll import KLL
+from ..sketches.tdigest import TDigest
+
+
+def _sql_key(key):
+    """SQL key coercion: NULL stays NULL (xxhash64_any(None) returns the
+    seed hash, exactly how the JVM build hashed NULL rows — so a NULL key
+    queries the NULL group, consistent with the build); everything else
+    queries as its string form."""
+    if key is None or (isinstance(key, float) and key != key):
+        return None
+    return str(key)
+
+
+def _expect(sk, kinds, fn_name: str):
+    if not isinstance(sk, kinds):
+        names = "/".join(k.__name__ for k in (kinds if isinstance(kinds, tuple) else (kinds,)))
+        raise TypeError(f"{fn_name} expects a {names} state, got {type(sk).__name__}")
+    return sk
 
 
 def _blob_cache(fn):
@@ -54,14 +80,18 @@ def register_sketch_sql_functions(spark: SparkSession, prefix: str = "pjs_") -> 
     @F.pandas_udf("double")
     def _cardinality(blobs: pd.Series) -> pd.Series:
         def est(sk):
-            return float(sk.cardinality())
+            return float(_expect(sk, (HyperLogLog, BloomFilter), "pjs_cardinality").cardinality())
 
-        return pd.Series(_blob_cache(est)(blobs), dtype="float64")
+        # nullable Float64: a NULL blob yields SQL NULL (a plain float64
+        # series would turn None into NaN, which Spark orders above every
+        # number — NULL rows would pass numeric filters)
+        return pd.Series(_blob_cache(est)(blobs), dtype="Float64")
 
     @F.pandas_udf("long")
     def _count(blobs: pd.Series, keys: pd.Series) -> pd.Series:
         def q(sk, key):
-            return int(sk.query_hashes(np.array([xxhash64_any(str(key))], dtype=np.uint64))[0])
+            _expect(sk, CountMinSketch, "pjs_count")
+            return int(sk.query_hashes(np.array([xxhash64_any(_sql_key(key))], dtype=np.uint64))[0])
 
         # nullable Int64: a NULL state blob yields NULL, not a crash
         return pd.Series(_blob_cache(q)(blobs, keys), dtype="Int64")
@@ -69,16 +99,20 @@ def register_sketch_sql_functions(spark: SparkSession, prefix: str = "pjs_") -> 
     @F.pandas_udf("boolean")
     def _contains(blobs: pd.Series, keys: pd.Series) -> pd.Series:
         def c(sk, key):
-            return bool(sk.contains_hashes(np.array([xxhash64_any(str(key))], dtype=np.uint64))[0])
+            _expect(sk, (BloomFilter, CuckooFilter), "pjs_contains")
+            return bool(sk.contains_hashes(np.array([xxhash64_any(_sql_key(key))], dtype=np.uint64))[0])
 
         return pd.Series(_blob_cache(c)(blobs, keys), dtype="boolean")
 
     @F.pandas_udf("double")
     def _quantile(blobs: pd.Series, qs: pd.Series) -> pd.Series:
         def quant(sk, q):
+            _expect(sk, (TDigest, KLL), "pjs_quantile")
+            if q is None or (isinstance(q, float) and q != q):
+                return None  # NULL q -> NULL, not the sketch maximum
             return float(sk.quantile(float(q)))
 
-        return pd.Series(_blob_cache(quant)(blobs, qs), dtype="float64")
+        return pd.Series(_blob_cache(quant)(blobs, qs), dtype="Float64")
 
     @F.pandas_udf("binary")
     def _merge(a: pd.Series, b: pd.Series) -> pd.Series:

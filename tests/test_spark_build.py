@@ -286,7 +286,7 @@ def test_sql_estimator_functions(spark, events):
         sk = sketch_from_bytes(bytes(r["state_u"]))
         assert r["card"] == sk.cardinality()
         assert r["member"] is True  # no false negatives
-        assert r["absent"] is False or True  # bloom may false-positive, never crash
+        assert r["absent"] in (True, False)  # bloom may false-positive, never NULL/crash
         assert r["cnt"] >= 1  # CMS of the group's own key: at least its rows
         assert r["p50"] == r["p50"]  # not NaN
 
@@ -320,3 +320,48 @@ def test_sql_estimators_null_blobs(spark):
     df.createOrReplaceTempView("t_null_blob")
     rows = spark.sql("SELECT id, pjs_count(st, 'k') AS n FROM t_null_blob").collect()
     assert dict((r.id, r.n) for r in rows) == {1: 5, 2: None}
+
+
+def test_sql_estimators_null_and_kind_semantics(spark):
+    """Review r02 pass 3: NULL keys query the NULL group (matching the
+    build's JVM NULL hashing); NULL q yields NULL; wrong sketch kinds
+    raise clear TypeErrors, not bare AttributeErrors."""
+    import numpy as np
+
+    from probably_jl_spark.functions.sql import register_sketch_sql_functions
+    from probably_jl_spark.operators.specs import SketchSpec
+    from probably_jl_spark.operators.build import sketch_table
+
+    register_sketch_sql_functions(spark)
+    # rows with NULL keys: the CMS build inserts them under the NULL hash
+    ev = spark.createDataFrame(
+        [("a",), ("a",), (None,), (None,), (None,)], "k string"
+    )
+    res = sketch_table(ev, [SketchSpec("c", "cms", key_cols=("k",))])
+    spark.createDataFrame(
+        [(bytearray(res.sketches["c"].to_bytes()),)], "st binary"
+    ).createOrReplaceTempView("t_cms")
+    rows = spark.sql(
+        "SELECT pjs_count(st, 'a') AS a_cnt, "
+        "pjs_count(st, CAST(NULL AS STRING)) AS null_cnt FROM t_cms"
+    ).collect()[0]
+    assert rows["a_cnt"] == 2 and rows["null_cnt"] == 3
+
+    # NULL quantile arg -> NULL (was: silently the sketch max)
+    from probably_jl_spark.sketches.kll import KLL
+
+    kl = KLL(200)
+    kl.update_values(np.arange(100, dtype=np.float64))
+    spark.createDataFrame([(bytearray(kl.to_bytes()),)], "st binary").createOrReplaceTempView(
+        "t_kll"
+    )
+    assert (
+        spark.sql("SELECT pjs_quantile(st, CAST(NULL AS DOUBLE)) AS q FROM t_kll").collect()[0]["q"]
+        is None
+    )
+
+    # wrong kind -> clear TypeError surfaced in the Python exception
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="pjs_cardinality expects"):
+        spark.sql("SELECT pjs_cardinality(st) FROM t_cms").collect()

@@ -132,11 +132,35 @@ def _make_wav(freq=440.0, seconds=0.5, rate=8000, nch=1):
 
 
 def _make_bmp(width=8, height=8, value=200):
-    # the production encoder: the test must decode exactly what the
-    # library's own payload synthesizer produces
-    from probably_jl_spark.operators.multimodal import synth_bmp
+    """INDEPENDENT hand-rolled BMP encoder (struct layout written from the
+    public BITMAPINFOHEADER spec, NOT from the library's synth_bmp): a
+    matched encoder/decoder misunderstanding of padding/offsets would slip
+    through a circular test, so the decoder must read bytes it didn't
+    produce. test_decoder_agrees_with_library_encoder covers the synth_bmp
+    path separately."""
+    import struct
 
-    return synth_bmp(width, height, value)
+    import numpy as np
+
+    rowsize = ((width * 3 + 3) // 4) * 4
+    img = np.full((height, rowsize), 0, dtype=np.uint8)
+    img[:, : width * 3] = value
+    pixels = img.tobytes()
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(pixels), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    return header + info + pixels
+
+
+def test_decoder_agrees_with_library_encoder():
+    """synth_bmp payloads decode to the same result as the independent
+    encoder's payloads (cross-validation both ways)."""
+    from probably_jl_spark.operators.multimodal import real_media_decoder, synth_bmp
+
+    a = real_media_decoder("image", synth_bmp(8, 8, 200))
+    b = real_media_decoder("image", _make_bmp(8, 8, 200))
+    assert (a["width"], a["height"], a["channels"]) == (b["width"], b["height"], b["channels"])
+    assert list(a["feature"]) == list(b["feature"])
 
 
 def _make_ppm(width=6, height=4, rgb=(10, 20, 30)):
