@@ -54,6 +54,26 @@ def quantile(state, q: float) -> float:
     raise TypeError("quantile expects a t-digest or KLL state")
 
 
+def intersection_cardinality(a, b) -> float:
+    """Distinct-count of the INTERSECTION of two HLL (or Bloom) states by
+    inclusion-exclusion: |A| + |B| - |A u B| (the union is the lossless
+    register-max / bitwise-OR merge). Errors compound — roughly
+    1.04/sqrt(m) * (|A| + |B| + |A u B|) at one sigma — so this is an
+    overlap *signal* (e.g. distinct users active in BOTH segments), not a
+    precision estimator; it can go slightly negative for disjoint sets
+    and is clamped at 0."""
+    sa, sb = _materialize(a), _materialize(b)
+    for s in (sa, sb):
+        if not isinstance(s, (HyperLogLog, BloomFilter)):
+            raise TypeError(
+                f"intersection_cardinality expects HLL/Bloom states, got {type(s).__name__}"
+            )
+    if type(sa) is not type(sb):
+        raise TypeError("intersection_cardinality expects two states of the same kind")
+    union = sa.copy().merge(sb)
+    return max(0.0, float(sa.cardinality()) + float(sb.cardinality()) - float(union.cardinality()))
+
+
 def _materialize(state):
     if isinstance(state, (bytes, bytearray)):
         return sketch_from_bytes(state)

@@ -318,6 +318,37 @@ def grouped_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------- merge laws
 
 
+def hll_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users active in BOTH the 'click' and 'error' segments:
+    inclusion-exclusion over per-segment HLL states
+    (functions.intersection_cardinality). Error compounds across the
+    three estimates, so the gate is 3-sigma of the summed cardinalities."""
+    from .functions import intersection_cardinality
+
+    ev = _t(spark, sf_dir, "events")
+    states = {
+        r["event_type"]: bytes(r["state_u"])
+        for r in grouped_sketch(
+            ev.filter(F.col("event_type").isin("click", "error")),
+            ["event_type"],
+            [SketchSpec("u", "hll", key_cols=("user_id",))],
+        ).collect()
+    }
+    est = intersection_cardinality(states["click"], states["error"])
+    exact = (
+        ev.filter("event_type = 'click'")
+        .select("user_id")
+        .intersect(ev.filter("event_type = 'error'").select("user_id"))
+        .count()
+    )
+    a = ev.filter("event_type = 'click'").select("user_id").distinct().count()
+    b = ev.filter("event_type = 'error'").select("user_id").distinct().count()
+    union = a + b - exact
+    sigma = 1.04 / math.sqrt(2**14)
+    ok = abs(est - exact) <= 3 * sigma * (a + b + union) + 1
+    return _bool_row(spark, exact_intersection=exact, hll_within_bound=ok)
+
+
 def sql_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL surface (functions/sql.py): a grouped sketch-state table is
     queried from pure spark.sql via the registered pjs_* estimator UDFs;
@@ -423,6 +454,7 @@ def sketch_queries() -> dict:
         "grouped_quantiles_by_type": grouped_quantiles_by_type,
         "kll_nchars_quantiles": kll_nchars_quantiles,
         "latency_quantiles": latency_quantiles,
+        "hll_intersection_users": hll_intersection_users,
         "sql_estimators": sql_estimators,
         "merge_laws": merge_laws,
     }
@@ -481,6 +513,11 @@ def sketch_oracles() -> dict:
             "SELECT * FROM (VALUES "
             + ", ".join(f"('{q}', TRUE, TRUE)" for q in QS)
             + ") AS t(q, tdigest_ok, kll_ok)"
+        ),
+        "hll_intersection_users": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection, TRUE AS hll_within_bound "
+            "FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'click' "
+            "INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type = 'error')"
         ),
         "sql_estimators": (
             "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct, "

@@ -365,3 +365,34 @@ def test_sql_estimators_null_and_kind_semantics(spark):
 
     with _pytest.raises(Exception, match="pjs_cardinality expects"):
         spark.sql("SELECT pjs_cardinality(st) FROM t_cms").collect()
+
+
+def test_intersection_cardinality():
+    """Inclusion-exclusion HLL intersection: overlapping sets estimate
+    near the true overlap; disjoint sets clamp at >= 0; kind mismatches
+    raise."""
+    import numpy as np
+
+    from probably_jl_spark.functions import intersection_cardinality
+    from probably_jl_spark.sketches.cms import CountMinSketch
+    from probably_jl_spark.sketches.hashing import xxhash64_any
+    from probably_jl_spark.sketches.hll import HyperLogLog
+
+    def hll_of(keys):
+        h = HyperLogLog(14)
+        h.update_hashes(np.array([xxhash64_any(k) for k in keys], dtype=np.uint64))
+        return h
+
+    a = hll_of([f"k{i}" for i in range(0, 3000)])
+    b = hll_of([f"k{i}" for i in range(2000, 5000)])
+    est = intersection_cardinality(a, b)
+    assert abs(est - 1000) <= 3 * 1.04 / np.sqrt(2**14) * (3000 + 3000 + 5000) + 5
+
+    disjoint = intersection_cardinality(hll_of(["x"]), hll_of(["y"]))
+    assert disjoint >= 0.0
+
+    # also accepts serialized blobs
+    assert intersection_cardinality(a.to_bytes(), b.to_bytes()) == est
+
+    with pytest.raises(TypeError):
+        intersection_cardinality(a, CountMinSketch(64, 3))
