@@ -13,12 +13,14 @@ decode per group, not per row):
     SELECT pjs_quantile(state_len, 0.99)               FROM role_states
     SELECT pjs_merge(a.state, b.state)                 -- pairwise re-merge
 
-Keys are strings on the SQL surface (matching Spark's own SQL coercion
-habits); a NULL key queries the NULL group exactly as the JVM build
-hashed NULL rows; builds keyed on numeric columns should query through
-the typed Python API (functions.batch_contains / batch_query_counts)
-instead. Wrong sketch kinds raise clear TypeErrors (same contract as the
-driver-side estimators in functions/__init__.py).
+Keys are strings on the SQL surface; a NULL key queries the NULL group
+exactly as the JVM build hashed NULL rows; any other key type raises a
+TypeError (a numeric key would hash differently than the string the
+build hashed — failing loudly beats returning counts for the wrong
+hash). Builds keyed on numeric columns query through the typed Python
+API (functions.batch_contains / batch_query_counts) instead. Wrong
+sketch kinds raise clear TypeErrors (same contract as the driver-side
+estimators in functions/__init__.py).
 """
 
 from __future__ import annotations
@@ -41,11 +43,22 @@ from ..sketches.tdigest import TDigest
 def _sql_key(key):
     """SQL key coercion: NULL stays NULL (xxhash64_any(None) returns the
     seed hash, exactly how the JVM build hashed NULL rows — so a NULL key
-    queries the NULL group, consistent with the build); everything else
-    queries as its string form."""
+    queries the NULL group, consistent with the build); strings pass
+    through. Anything else raises: a numeric key hashes differently than
+    the string the build hashed, so silently coercing would return
+    counts/membership for the wrong hash (ADVICE r2) — cast the column to
+    STRING in SQL, or use the typed Python API (functions.batch_contains /
+    batch_query_counts) for numeric-keyed builds."""
     if key is None or (isinstance(key, float) and key != key):
         return None
-    return str(key)
+    if not isinstance(key, str):
+        raise TypeError(
+            f"pjs_* SQL estimators take STRING keys (got {type(key).__name__}: "
+            f"{key!r}); CAST the key to STRING if the sketch was built on a "
+            "string column, or query numeric-keyed builds through the typed "
+            "Python API (functions.batch_contains / batch_query_counts)"
+        )
+    return key
 
 
 def _expect(sk, kinds, fn_name: str):

@@ -87,6 +87,12 @@ def _partial_builder(specs: list[SketchSpec], group_cols: list[str], col_map: di
             groups = pdf.groupby(list(group_cols), dropna=False, sort=False).indices
             for key, idx in groups.items():
                 kt = key if isinstance(key, tuple) else (key,)
+                # normalize float-NaN key components to None: pandas hands
+                # back a fresh NaN object per batch and (nan,) tuples never
+                # compare equal, so without this every batch would open a
+                # new dict entry for the NaN group and the per-key merge
+                # order would ride on shuffle row order (ADVICE r2)
+                kt = tuple(None if (isinstance(x, float) and x != x) else x for x in kt)
                 ent = states.get(kt)
                 if ent is None:
                     ent = states[kt] = [0, {s.name: s.new() for s in specs}]

@@ -178,26 +178,22 @@ class KLL:
         return KLL(self.k, [lv.copy() for lv in self.levels], self.n, self._compactions)
 
     def __eq__(self, other) -> bool:
-        # semantic equality = identical wire form (the level-0 exact tail
-        # is compacted on serialization, so a round-tripped sketch equals
-        # its source even though the resident arrays differ)
+        # semantic equality = identical wire form, computed on compacted
+        # COPIES so comparison never mutates either operand (to_bytes is a
+        # mutating barrier; see its docstring)
         return (
             isinstance(other, KLL)
             and self.k == other.k
             and self.n == other.n
-            and self.to_bytes() == other.to_bytes()
+            and self._wire() == other._wire()
         )
 
     def __hash__(self):
         return hash((self.k, self.n))
 
     # ---------------------------------------------------------------- io
-    def to_bytes(self) -> bytes:
-        # serialize the compressed form: the level-0 tail (exact items
-        # awaiting the next _B boundary) is compacted in a copy so wire
-        # states stay O(k log n), not O(_B). Deterministic: two runs that
-        # ingested the same value sequence hold identical state here, so
-        # the copy compresses identically.
+    def _wire(self) -> bytes:
+        """Wire form of a compacted copy (non-mutating; used by __eq__)."""
         src = self
         if sum(lv.size for lv in self.levels) > self._total_capacity():
             src = self.copy()
@@ -206,6 +202,18 @@ class KLL:
         sizes = np.array([lv.size for lv in src.levels], dtype=np.uint32)
         payload = sizes.tobytes() + b"".join(lv.tobytes() for lv in src.levels)
         return codec.wrap(codec.KIND_KLL, hdr, payload)
+
+    def to_bytes(self) -> bytes:
+        # Serialization is a deterministic BARRIER: the level-0 tail
+        # (exact items awaiting the next _B boundary) is compacted IN
+        # PLACE, keeping wire states O(k log n), not O(_B), and leaving
+        # the live sketch in exactly the state its deserialized twin will
+        # hold — continuing ingestion on either yields byte-identical
+        # futures (`n`, and so the _B alignment, rides in the header).
+        # Bytes are a deterministic function of (value sequence,
+        # serialization points), never of Arrow batch slicing.
+        self._compress()
+        return self._wire()
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "KLL":

@@ -24,7 +24,7 @@ import numpy as np
 
 from . import codec
 
-_HDR = struct.Struct("<dQdd")  # delta, n_centroids, min, max
+_HDR = struct.Struct("<dQQdd")  # delta, n_centroids, ingested, min, max
 # Clustering passes fire only when the GLOBAL unweighted ingest count
 # crosses a multiple of _B: the centroid state is then a deterministic
 # function of the value sequence alone, independent of how callers slice
@@ -221,19 +221,27 @@ class TDigest:
 
     # ---------------------------------------------------------------- io
     def to_bytes(self) -> bytes:
-        # the wire form is the flushed (clustered) state: two runs that
-        # ingested the same value sequence are byte-identical here, and
-        # round-trips are canonical (a deserialized digest has no buffer)
-        s = self._flushed()
-        hdr = _HDR.pack(s.delta, s.means.size, s.vmin, s.vmax)
-        return codec.wrap(codec.KIND_TDIGEST, hdr, s.means.tobytes() + s.weights.tobytes())
+        # Serialization is a deterministic BARRIER: the pending buffer is
+        # flushed IN PLACE (not on a copy) and `_ingested` rides in the
+        # header, so a live digest that serialized here and its
+        # deserialized twin hold identical state — continuing ingestion on
+        # either yields byte-identical futures. The wire form (and every
+        # state after it) is a deterministic function of (value sequence,
+        # serialization points), never of Arrow batch slicing.
+        self._flush()
+        hdr = _HDR.pack(self.delta, self.means.size, self._ingested, self.vmin, self.vmax)
+        return codec.wrap(
+            codec.KIND_TDIGEST, hdr, self.means.tobytes() + self.weights.tobytes()
+        )
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "TDigest":
         header, payload = codec.unwrap(data, codec.KIND_TDIGEST)
-        delta, nc, vmin, vmax = _HDR.unpack(header)
+        delta, nc, ingested, vmin, vmax = _HDR.unpack(header)
         arr = np.frombuffer(payload, dtype=np.float64)
-        return cls(delta, arr[:nc].copy(), arr[nc:].copy(), vmin, vmax)
+        out = cls(delta, arr[:nc].copy(), arr[nc:].copy(), vmin, vmax)
+        out._ingested = int(ingested)  # preserve the _B boundary alignment
+        return out
 
 
 def _presort(values: np.ndarray, weights: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -238,3 +238,37 @@ def test_tdigest_buffer_does_not_alias_caller_array():
     td_fresh.update_values(b1)
     td_fresh.update_values(b2)
     assert td_scratch.to_bytes() == td_fresh.to_bytes()
+
+
+def test_serialization_barrier_resume_law():
+    """ADVICE r02: a live sketch that serialized at point X and its
+    deserialized twin must continue ingesting byte-identically.
+    to_bytes is a mutating barrier (flush/compact in place) and the
+    ingest alignment (_ingested / n) rides in the header, so bytes are a
+    deterministic function of (value sequence, serialization points) —
+    never of which process holds the sketch."""
+    from probably_jl_spark.sketches.kll import KLL
+    from probably_jl_spark.sketches.tdigest import TDigest
+
+    rng = np.random.default_rng(17)
+    head, tail = rng.normal(size=7_001), rng.normal(size=13_003)
+
+    for mk in (lambda: TDigest(200.0), lambda: KLL(200)):
+        live = mk()
+        live.update_values(head)
+        twin = type(live).from_bytes(live.to_bytes())
+        live.update_values(tail)
+        twin.update_values(tail)
+        assert live.to_bytes() == twin.to_bytes(), type(live).__name__
+        # and a second serialization is idempotent (barrier already taken)
+        assert live.to_bytes() == live.to_bytes()
+
+
+def test_tdigest_ingested_survives_roundtrip():
+    """The _B-boundary alignment counter is part of the wire header."""
+    from probably_jl_spark.sketches.tdigest import TDigest
+
+    td = TDigest(200.0)
+    td.update_values(np.arange(5_555, dtype=np.float64))
+    rt = TDigest.from_bytes(td.to_bytes())
+    assert rt._ingested == td._ingested == 5_555

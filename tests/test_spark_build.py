@@ -396,3 +396,47 @@ def test_intersection_cardinality():
 
     with pytest.raises(TypeError):
         intersection_cardinality(a, CountMinSketch(64, 3))
+
+
+def test_grouped_nan_key_single_state(spark):
+    """ADVICE r02: pandas hands back a fresh float-NaN object per Arrow
+    batch, so without normalization the NaN group fragments into one dict
+    entry per batch (same _ORD_COL -> merge order rides on shuffle row
+    order). The partial builder must emit exactly ONE state row per
+    (partition, NaN-group), however many batches feed it."""
+    import pandas as pd
+
+    from probably_jl_spark.operators.build import plan_columns
+    from probably_jl_spark.operators.grouped import _partial_builder
+
+    specs = [SketchSpec("v", "tdigest", value_col="value")]
+    _, col_map = plan_columns(specs)
+    batches = [
+        pd.DataFrame({"g": [float("nan"), 1.0], "__v0": [1.0, 2.0]}),
+        pd.DataFrame({"g": [float("nan"), 1.0], "__v0": [3.0, 4.0]}),
+        pd.DataFrame({"g": [float("nan")], "__v0": [5.0]}),
+    ]
+    out = pd.concat(list(_partial_builder(specs, ["g"], col_map, cap=1 << 16)(iter(batches))))
+    # one row for the NaN group, one for key 1.0 — not one per batch
+    assert len(out) == 2, out
+    nan_rows = out[out["g"].isna()]
+    assert len(nan_rows) == 1
+    assert int(nan_rows["n_rows"].iloc[0]) == 3
+
+
+def test_sql_estimator_rejects_non_string_keys(spark, events):
+    """ADVICE r02: a numeric key hashes differently than the string the
+    build hashed — the SQL surface must fail loudly, not return counts
+    for the wrong hash."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from probably_jl_spark.functions.sql import register_sketch_sql_functions
+
+    register_sketch_sql_functions(spark)
+    specs = [SketchSpec("c", "cms", key_cols=("event_type",))]
+    grouped_sketch(events, ["event_type"], specs).createOrReplaceTempView("st_typed")
+    with pytest.raises((Py4JJavaError, Exception), match="STRING keys"):
+        spark.sql("SELECT pjs_count(state_c, 123) FROM st_typed").collect()
+    # NULL keys still query the NULL group (no raise)
+    spark.sql("SELECT pjs_count(state_c, NULL) AS c FROM st_typed").collect()
