@@ -667,6 +667,48 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bool_row(spark, n_queries=10, recall_above_070=bool(np.mean(recalls) >= 0.7))
 
 
+def cosine_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table embedding near-dup (VERDICT r02 #1) on a CLUSTERED
+    fixture: 50 vectors get a perturbed twin at an exactly-controlled
+    cosine in [0.90, 0.97] (twin = normalize(u + tan(theta)*w), w unit
+    orthogonal noise, seeded) — NOT near-identical, so single-table LSH
+    (catch prob ~0.43/pair) would fail this gate. The 16x8 multi-table
+    union must recover >= 0.95 of the true pairs; the exact rerank keeps
+    precision 1.0 by construction (every emitted sim is exact)."""
+    import numpy as np
+
+    from .operators.similarity import cosine_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = emb.filter("vec_id < 50").select("vec_id", "embedding").collect()
+    rng = np.random.default_rng(123)
+    twins, true_pairs = [], set()
+    for r in rows:
+        u = np.array(r["embedding"], dtype=np.float64)
+        u /= np.linalg.norm(u)
+        target_cos = rng.uniform(0.90, 0.97)
+        w = rng.normal(size=u.size)
+        w -= (w @ u) * u
+        w /= np.linalg.norm(w)
+        v = u + np.tan(np.arccos(target_cos)) * w
+        v /= np.linalg.norm(v)
+        twins.append((int(r["vec_id"]) + 10_000, [float(x) for x in v]))
+        true_pairs.add((int(r["vec_id"]), int(r["vec_id"]) + 10_000))
+    both = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(twins, "vec_id long, embedding array<float>")
+    )
+    out = cosine_near_dup_pairs(both, threshold=0.90, dim=64, n_tables=16).toPandas()
+    found = {(int(a), int(b)) for a, b in zip(out.id_a, out.id_b)}
+    recall = len(found & true_pairs) / len(true_pairs)
+    precise = bool((out.sim >= 0.90).all())
+    return _bool_row(
+        spark,
+        n_true_pairs=len(true_pairs),
+        recall_above_095=bool(recall >= 0.95),
+        rerank_precise=precise,
+    )
+
+
 def media_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real (dependency-free) media decoding through the mapInPandas
     pipeline: one synthetic solid-color 24-bit BMP per of the first 8
@@ -734,6 +776,7 @@ def training_queries() -> dict:
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_recall": ann_lsh_recall,
         "ann_ivf_recall": ann_ivf_recall,
+        "cosine_near_dup_recall": cosine_near_dup_recall,
         "media_decode_bmp": media_decode_bmp,
         "token_count_docs": token_count_docs,
         "quality_score_docs": quality_score_docs,
@@ -792,6 +835,10 @@ def training_oracles() -> dict:
         ),
         "ann_ivf_recall": (
             "SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_above_070"
+        ),
+        "cosine_near_dup_recall": (
+            "SELECT CAST(50 AS BIGINT) AS n_true_pairs, "
+            "TRUE AS recall_above_095, TRUE AS rerank_precise"
         ),
         "media_decode_bmp": (
             "SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(8 AS BIGINT) AS width, "

@@ -266,3 +266,98 @@ def test_connected_components_nonconvergence_raises(spark):
         connected_components(chain, max_iterations=2)
     ok = connected_components(chain, max_iterations=10)
     assert {r.cluster_rep for r in ok.collect()} == {0}
+
+
+def _perturbed_twins(spark, emb, n_twins=50, id_offset=10_000, seed=123):
+    """n_twins vectors + twins at controlled cosine in [0.90, 0.97]:
+    twin = normalize(u + tan(theta) * w), w a unit vector orthogonal to u,
+    so cos(u, twin) = cos(theta) exactly. Deterministic (seeded)."""
+    import numpy as np
+
+    rows = emb.filter(f"vec_id < {n_twins}").select("vec_id", "embedding").collect()
+    rng = np.random.default_rng(seed)
+    out = []
+    true_pairs = set()
+    for r in rows:
+        u = np.array(r["embedding"], dtype=np.float64)
+        u /= np.linalg.norm(u)
+        target_cos = rng.uniform(0.90, 0.97)
+        w = rng.normal(size=u.size)
+        w -= (w @ u) * u
+        w /= np.linalg.norm(w)
+        v = u + np.tan(np.arccos(target_cos)) * w
+        v /= np.linalg.norm(v)
+        out.append((int(r["vec_id"]) + id_offset, [float(x) for x in v]))
+        true_pairs.add((int(r["vec_id"]), int(r["vec_id"]) + id_offset))
+    twins = spark.createDataFrame(out, "vec_id long, embedding array<float>")
+    both = emb.select("vec_id", "embedding").unionByName(twins)
+    return both, true_pairs
+
+
+def test_cosine_near_dup_multitable_recall(spark, emb):
+    """VERDICT r02 #1: single-table sign-LSH catches a cosine-0.95 pair
+    with prob ~0.43 — the fixture dups being near-identical is why old
+    tests passed. On a CLUSTERED fixture (pairs at cosine 0.90-0.97, NOT
+    near-identical) the multi-table union must reach recall >= 0.95
+    against the exact all-pairs truth."""
+    both, true_pairs = _perturbed_twins(spark, emb)
+    out = cosine_near_dup_pairs(both, threshold=0.90, dim=64, n_tables=16).toPandas()
+    found = {(int(a), int(b)) for a, b in zip(out.id_a, out.id_b)}
+    recall = len(found & true_pairs) / len(true_pairs)
+    assert recall >= 0.95, f"recall {recall} on clustered fixture"
+    # precision: the exact rerank admits only true >= 0.90 pairs
+    assert (out.sim >= 0.90).all()
+
+
+def test_multiprobe_halves_tables(spark, emb):
+    """VERDICT r02 #3 (multi-probe promised, now implemented): 8 tables +
+    3 probes must match-or-beat 16 tables at 0 probes — half the
+    corpus-side key rows for equal recall."""
+    from probably_jl_spark.operators.similarity import ann_topk_lsh, cosine_topk
+
+    q = emb.filter("vec_id < 10")
+    exact = cosine_topk(emb, q, k=5).toPandas()
+
+    def recall(approx):
+        rs = []
+        for i in range(10):
+            e = set(exact[exact.query_id == i].neighbor_id)
+            a = set(approx[approx.query_id == i].neighbor_id)
+            rs.append(len(e & a) / max(len(e), 1))
+        return sum(rs) / len(rs)
+
+    base = recall(ann_topk_lsh(emb, q, dim=64, k=5, n_tables=16, n_planes=4).toPandas())
+    probed = recall(
+        ann_topk_lsh(emb, q, dim=64, k=5, n_tables=8, n_planes=4, n_probes=3).toPandas()
+    )
+    assert probed >= base, f"multiprobe {probed} < 16-table baseline {base}"
+
+
+def test_multiprobe_flips_lowest_margin_bits(spark, emb):
+    """Probe buckets differ from the home bucket by exactly one bit, and
+    probes=P emits exactly 1+P rows per (vector, table)."""
+    from probably_jl_spark.operators.similarity import multitable_buckets
+
+    one = emb.filter("vec_id = 3")
+    keys = multitable_buckets(one, dim=64, n_tables=4, n_planes=8, probes=2).toPandas()
+    assert len(keys) == 4 * 3
+    for t in range(4):
+        bs = list(keys[keys.table == t].bucket)
+        home = bs[0]
+        for probe in bs[1:]:
+            assert bin(int(home) ^ int(probe)).count("1") == 1
+
+
+def test_train_centroids_no_corpus_count(spark, emb):
+    """VERDICT r02 #2: the IVF training sample must be one
+    TakeOrderedAndProject pass (per-partition top-N by id hash), not a
+    full count() to derive a sample fraction."""
+    from probably_jl_spark.operators.similarity import _uniform_sample, train_centroids
+
+    plan = _uniform_sample(emb, "vec_id", "embedding", 7, 100)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    cents = train_centroids(emb, dim=64, n_centroids=8, sample_limit=200)
+    assert cents.shape == (8, 64)
+    import numpy as np
+
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0, atol=1e-5)
