@@ -136,31 +136,39 @@ def _merge_groups(specs: list[SketchSpec], group_cols: list[str], with_ord: bool
     return fn
 
 
-def grouped_sketch(
+def _auto_salt_buckets(n_partitions: int, target_fan_in: int = 256) -> int:
+    """Default merge fan-in bound (VERDICT r02 #4): with S salt buckets a
+    key's final merge reads S rows and each level-1 merge reads
+    ~n_partitions/S — S = nparts/256 caps both near `target_fan_in`, so a
+    100k-partition scan never funnels 100k state rows of one key into a
+    single applyInPandas group. <= target partitions need no extra level."""
+    return max(1, n_partitions // target_fan_in)
+
+
+def _pre_merge_states(
     df: DataFrame,
     group_cols: list[str],
     specs: list[SketchSpec],
-    salt_buckets: int = 1,
-    salt_cols: list[str] | None = None,  # obsolete, ignored (see module doc)
-    salt_seed: int = 0xBEEF,
-    max_states_per_partition: int = 1 << 16,
+    salt_buckets: int | None,
+    max_states_per_partition: int,
 ) -> DataFrame:
-    """Per-group sketch states: returns one row per group with
-    ``group_cols + [n_rows] + state_<name> binary`` columns.
-
-    Rows never shuffle: partition-local partial states are built in one
-    streaming pass, then only states move. ``salt_buckets=S`` adds a
-    pre-merge level on (key, partition mod S) to bound per-key fan-in on
-    very wide scans."""
+    """Stage 1 (+ optional salted level-1 merge): the state rows feeding
+    the final per-key merge. Exposed for fan-in tests."""
     spec_cols, col_map = plan_columns(specs)
     prepared = df.select(*[F.col(c) for c in group_cols], *spec_cols)
+    if salt_buckets is None:
+        try:
+            # plan -> RDD conversion is metadata-only for batch plans, but
+            # is not safe on every thread (e.g. py4j foreachBatch
+            # callbacks deadlock): fall back to the no-salt default there
+            salt_buckets = _auto_salt_buckets(prepared.rdd.getNumPartitions())
+        except Exception:
+            salt_buckets = 1
 
     partials = prepared.mapInPandas(
         _partial_builder(specs, group_cols, col_map, max_states_per_partition),
         schema=_grouped_schema(prepared, group_cols, specs, with_ord=True),
     )
-
-    out_schema = _grouped_schema(prepared, group_cols, specs)
     if salt_buckets > 1:
         level1 = partials.withColumn(
             _SALT_COL, F.pmod(F.shiftright(F.col(_ORD_COL), 20), F.lit(salt_buckets))
@@ -172,6 +180,30 @@ def grouped_sketch(
             .applyInPandas(_merge_groups(specs, mid_cols, with_ord=True), schema=mid_schema)
             .drop(_SALT_COL)
         )
+    return partials
+
+
+def grouped_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    specs: list[SketchSpec],
+    salt_buckets: int | None = None,
+    salt_cols: list[str] | None = None,  # obsolete, ignored (see module doc)
+    salt_seed: int = 0xBEEF,
+    max_states_per_partition: int = 1 << 16,
+) -> DataFrame:
+    """Per-group sketch states: returns one row per group with
+    ``group_cols + [n_rows] + state_<name> binary`` columns.
+
+    Rows never shuffle: partition-local partial states are built in one
+    streaming pass, then only states move. ``salt_buckets=S`` adds a
+    pre-merge level on (key, partition mod S) to bound per-key fan-in on
+    very wide scans; the default (None) derives S from the scan's
+    partition count so fan-in stays ~256 at any width."""
+    partials = _pre_merge_states(df, group_cols, specs, salt_buckets, max_states_per_partition)
+    out_schema = StructType(
+        [f for f in partials.schema.fields if f.name != _ORD_COL]
+    )
     return partials.groupBy(*group_cols).applyInPandas(
         _merge_groups(specs, group_cols, with_ord=False), schema=out_schema
     )

@@ -562,6 +562,15 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_aug_docs(spark, sf_dir)).select("doc_id", "rep_id")
 
 
+def exact_dedup_map_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrow-exchange dedup map (one row per distinct text, 128-bit
+    hash key): the at-scale variant whose shuffle moves ~24 bytes/row
+    instead of full documents. Oracle recomputes md5 + min-id in DuckDB."""
+    from .operators.dedup import exact_dedup_map
+
+    return exact_dedup_map(_aug_docs(spark, sf_dir)).select("text_hash", "rep_id")
+
+
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs, exact-Jaccard verified at >= 0.8.
     Oracle = brute-force all-pairs shingle Jaccard in DuckDB; matching
@@ -770,6 +779,7 @@ def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def training_queries() -> dict:
     return {
         "exact_dedup_docs": exact_dedup_docs,
+        "exact_dedup_map_docs": exact_dedup_map_docs,
         "minhash_near_dup_pairs": minhash_near_dup_pairs,
         "dup_cluster_assign": dup_cluster_assign,
         "simhash_dups_docs": simhash_dups_docs,
@@ -797,6 +807,11 @@ def training_oracles() -> dict:
             "SELECT d.doc_id, m.rep_id FROM aug d JOIN "
             "(SELECT text, MIN(doc_id) AS rep_id FROM aug GROUP BY text) m "
             "USING (text)"
+        ),
+        "exact_dedup_map_docs": (
+            f"WITH aug AS ({_AUG_DOCS_SQL}) "
+            "SELECT md5(text) AS text_hash, MIN(doc_id) AS rep_id "
+            "FROM aug GROUP BY 1"
         ),
         "minhash_near_dup_pairs": (
             f"WITH aug AS ({_AUG_DOCS_SQL}), "

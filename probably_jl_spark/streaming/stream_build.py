@@ -18,11 +18,9 @@ merge is order-independent, unlike exact windowed aggregation).
 
 from __future__ import annotations
 
-import os
 import pickle
-import tempfile
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.build import sketch_table
@@ -31,29 +29,90 @@ from ..operators.specs import SketchSpec, merge_blobs, sketch_from_bytes
 
 
 class SketchStateStore:
-    """Tiny atomic file store for running sketch states keyed by group
-    (() for global). Lives on local disk here; the same layout works on
-    any fuse-mounted or object-store path."""
+    """Running sketch states keyed by group (() for global), persisted
+    through the Hadoop FileSystem API — so `state_dir` can be a local
+    path, a ``file:`` URI, HDFS, or any object store the cluster's Hadoop
+    conf knows, exactly like plans/checkpoint.py's manifest (VERDICT r02
+    #7: the old store pickled via os.path and broke off local disk).
 
-    def __init__(self, state_dir: str):
+    Crash safety without an overwrite-rename (HDFS rename won't clobber,
+    object stores aren't atomic on overwrite): each save writes
+    ``state.b<batchid>.pkl`` via a temp file + rename-to-new-name, and
+    ``load`` picks the highest completed batch id — a crash at any point
+    leaves the previous snapshot intact and readable. States and the
+    batch id live in one snapshot, so a replayed batch can never
+    double-merge (the foreachBatch guard reads both together)."""
+
+    def __init__(self, state_dir: str, spark: SparkSession | None = None):
         self.state_dir = state_dir
-        os.makedirs(state_dir, exist_ok=True)
-        self._path = os.path.join(state_dir, "state.pkl")
+        self._spark = spark
+        # (snapshot path, byte length) -> parsed snapshot: per-group reads
+        # (store.sketches in a loop) must not re-read the whole blob per
+        # group. Single-writer store: the cache key changes with every
+        # committed batch (path embeds the batch id).
+        self._cache: tuple | None = None
+
+    def _fs(self):
+        spark = self._spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError("SketchStateStore needs an active SparkSession")
+        jvm = spark._jvm
+        dirp = jvm.org.apache.hadoop.fs.Path(self.state_dir)
+        fs = dirp.getFileSystem(spark._jsc.hadoopConfiguration())
+        return jvm, fs, dirp
+
+    def _snapshots(self, jvm, fs, dirp) -> list[tuple[int, object]]:
+        if not fs.exists(dirp):
+            return []
+        out = []
+        for st in fs.listStatus(dirp):
+            name = st.getPath().getName()
+            if name.startswith("state.b") and name.endswith(".pkl"):
+                out.append((int(name[len("state.b") : -len(".pkl")]), st.getPath()))
+        return sorted(out)
 
     def load(self) -> tuple[dict, int]:
-        if not os.path.exists(self._path):
+        jvm, fs, dirp = self._fs()
+        snaps = self._snapshots(jvm, fs, dirp)
+        if not snaps:
             return {}, -1
-        with open(self._path, "rb") as f:
-            snapshot = pickle.load(f)
+        _, path = snaps[-1]
+        key = (str(path), fs.getFileStatus(path).getLen())
+        if self._cache is not None and self._cache[0] == key:
+            return self._cache[1]
+        stream = fs.open(path)
+        try:
+            # read JVM-side, cross the py4j boundary as ONE base64 string:
+            # a returned java byte[] is decoded by py4j with a per-byte
+            # Python loop (minutes for a multi-group state blob)
+            data_b64 = jvm.java.util.Base64.getEncoder().encodeToString(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+        import base64
+
+        snapshot = pickle.loads(base64.b64decode(data_b64))
+        self._cache = (key, (snapshot["states"], snapshot["last_batch_id"]))
         return snapshot["states"], snapshot["last_batch_id"]
 
     def save(self, states: dict, batch_id: int) -> None:
-        # single atomic replace: states and the batch id must commit
-        # together or a crash between them double-merges the replayed batch
-        fd, tmp = tempfile.mkstemp(dir=self.state_dir)
-        with os.fdopen(fd, "wb") as f:
-            pickle.dump({"states": states, "last_batch_id": batch_id}, f)
-        os.replace(tmp, self._path)
+        jvm, fs, dirp = self._fs()
+        if not fs.exists(dirp):
+            fs.mkdirs(dirp)
+        blob = pickle.dumps({"states": states, "last_batch_id": batch_id})
+        tmp = jvm.org.apache.hadoop.fs.Path(dirp, f"state.b{batch_id}.pkl.tmp")
+        final = jvm.org.apache.hadoop.fs.Path(dirp, f"state.b{batch_id}.pkl")
+        stream = fs.create(tmp, True)
+        try:
+            stream.write(blob)
+        finally:
+            stream.close()
+        fs.rename(tmp, final)  # rename to a NEW name: atomic on HDFS/local
+        # opportunistic cleanup of superseded snapshots (keep the latest)
+        for bid, path in self._snapshots(jvm, fs, dirp):
+            if bid < batch_id:
+                fs.delete(path, False)
 
     def sketches(self, specs: list[SketchSpec], group: tuple = ()) -> dict:
         states, _ = self.load()
@@ -77,6 +136,9 @@ def sketch_stream(
     store = SketchStateStore(state_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch runs on a py4j callback thread where
+        # getActiveSession may be unset — bind the batch's session
+        store._spark = batch_df.sparkSession
         states, last = store.load()
         if batch_id <= last:
             return  # replayed batch: idempotent skip
@@ -109,13 +171,18 @@ def windowed_sketch_stream(
     store = SketchStateStore(state_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        store._spark = batch_df.sparkSession  # py4j callback thread
         states, last = store.load()
         if batch_id <= last:
             return
         win = batch_df.withColumn(
             "__win", F.date_trunc("hour", F.col(ts_col)) if window == "1 hour" else F.window(ts_col, window)["start"]
         )
-        rows = grouped_sketch(win, ["__win"], specs).collect()
+        # salt_buckets pinned to 1: micro-batches are narrow, and the
+        # auto default would convert the batch plan to an RDD for its
+        # partition count — RDD materialization on the py4j foreachBatch
+        # callback thread deadlocks
+        rows = grouped_sketch(win, ["__win"], specs, salt_buckets=1).collect()
         for r in rows:
             key = (str(r["__win"]),)
             blobs = states.get(key, {})

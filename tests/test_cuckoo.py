@@ -286,3 +286,35 @@ def test_build_update_overflow_raises():
     sk = spec.new()
     with pytest.raises(CuckooOverflowError):
         spec.update(sk, _hashes([f"k{i}" for i in range(200)]), None, None)
+
+
+def test_constrain_mem_capacity_maximizes_f():
+    """VERDICT r02 #6 (reference filter.jl:576-586): under memory +
+    capacity the planner takes the LARGEST feasible F, and under the
+    SmallCuckoo wire model every intermediate F is reachable (4
+    bits/bucket per F step), not just the 16/32 word layouts."""
+    # capacity 10k -> 16384 slots -> 4096 buckets
+    # wire bytes(f) = 4096 * (12 + 4*(f-4)) / 8; f=20 -> 38912, f=21 -> 40960
+    plan = constrain_cuckoo(memory=39_000, capacity=10_000, budget="wire")
+    assert plan.f == 20, plan
+    assert plan.memory_bytes == 38_912
+    assert constrain_cuckoo(memory=40_960, capacity=10_000, budget="wire").f == 21
+    # a budget in the middle of a word layout still lands on the widest
+    # F of that layout under the resident model
+    res = constrain_cuckoo(memory=16_384 * 2 + 100, capacity=10_000, budget="resident")
+    assert res.f == 16
+    assert constrain_cuckoo(memory=16_384 * 4, capacity=10_000, budget="resident").f == 32
+    # even F=4 (12 bits/bucket wire) over budget -> loud error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Too little memory"):
+        constrain_cuckoo(memory=6_000, capacity=10_000, budget="wire")
+
+
+def test_constrain_fpr_memory_fits_budget():
+    """fpr+memory picks the largest power-of-two length whose cost fits
+    the budget (the old planner could round len UP past the budget)."""
+    for budget in ("resident", "wire"):
+        plan = constrain_cuckoo(fpr=0.001, memory=100_000, budget=budget)
+        assert plan.memory_bytes <= 100_000, (budget, plan)
+        assert plan.fpr <= 0.001 * 1.05

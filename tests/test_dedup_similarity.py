@@ -361,3 +361,35 @@ def test_train_centroids_no_corpus_count(spark, emb):
     import numpy as np
 
     assert np.allclose(np.linalg.norm(cents, axis=1), 1.0, atol=1e-5)
+
+
+def test_exact_dedup_map_narrow_exchange(spark, docs):
+    """exact_dedup_map: agrees with the full-row exact_dedup, and its
+    exchange carries only the (id, md5) projection — the scan prunes to
+    the two referenced columns and aggregation is partial (map-side)
+    before the single shuffle."""
+    from probably_jl_spark.operators.dedup import exact_dedup, exact_dedup_map
+
+    dup = docs.filter("doc_id = 0").select(
+        (F.col("doc_id") + 7777).alias("doc_id"), "text"
+    )
+    both = docs.select("doc_id", "text").unionByName(dup)
+
+    m = exact_dedup_map(both).toPandas()
+    full = exact_dedup(both).toPandas()
+    # same representative for every text group
+    import pandas as pd
+
+    want = full.groupby("text")["rep_id"].min()
+    assert sorted(m.rep_id) == sorted(want)
+    # the duplicate collapsed onto doc 0
+    assert (m.rep_id != 7777).all()
+
+    # plan shape on a fresh scan (the cached/union fixture hides pruning):
+    # column-pruned scan -> md5 project -> map-side partial_min -> ONE
+    # exchange carrying (text_hash, min) -> final min
+    fresh = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = exact_dedup_map(fresh)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(text_hash") == 1
+    assert "partial_min" in plan.split("Exchange")[-1], plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan

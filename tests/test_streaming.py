@@ -168,3 +168,21 @@ def test_stateful_grouped_stream(spark, dirs):
         b = sketch_from_bytes(bytes(batch.loc[et, "state_users"]))
         assert a.to_bytes() == b.to_bytes(), f"HLL state mismatch for {et}"
         assert last.loc[et, "n_rows"] == batch.loc[et, "n_rows"]
+
+
+def test_state_store_file_uri(spark, tmp_path):
+    """VERDICT r02 #7: the state store must work through a Hadoop FS URI
+    (object-store path), not just bare os paths, with crash-safe
+    versioned snapshots and a fresh reader seeing the newest commit."""
+    uri = "file://" + str(tmp_path / "fs_state")
+    store = SketchStateStore(uri, spark)
+    assert store.load() == ({}, -1)
+    store.save({(): {"n_rows": 5}}, 0)
+    assert store.load() == ({(): {"n_rows": 5}}, 0)
+    store.save({(): {"n_rows": 9}}, 1)
+    fresh = SketchStateStore(uri, spark)
+    states, last = fresh.load()
+    assert (states, last) == ({(): {"n_rows": 9}}, 1)
+    # superseded snapshots are cleaned; only the latest remains
+    files = [f.name for f in (tmp_path / "fs_state").iterdir() if not f.name.startswith(".")]
+    assert files == ["state.b1.pkl"], files  # (.crc sidecars are Hadoop's)
