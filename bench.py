@@ -439,6 +439,54 @@ def run_bench() -> dict:
     queries["membership_probe_1m"] = round(time.perf_counter() - t0, 3)
     extras["probe_members_found"] = n_members
 
+    # ---------- embedding ops at bench scale (VERDICT r02 #8: measure the
+    # fixed multi-table near-dup and the IVF path, don't argue them).
+    # Synthetic unit-free corpus, all-JVM generation: 64 dims of
+    # hash-derived floats — near-uniform, LSH's worst case.
+    from probably_jl_spark.operators.similarity import (
+        ann_topk_ivf,
+        cosine_near_dup_pairs,
+    )
+
+    n_vecs = 500_000 if _LONG else 100_000
+    emb = (
+        spark.range(n_vecs)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(0, 63), "
+                "j -> cast(xxhash64(id, j) as float) / cast(9.3e18 as float))"
+            ).alias("embedding"),
+        )
+        .cache()
+    )
+    emb.count()
+    # 1% planted duplicates under new ids: the near-dup corpus
+    dups = emb.filter("pmod(vec_id, 100) = 0").select(
+        (F.col("vec_id") + n_vecs).alias("vec_id"), "embedding"
+    )
+    near_corpus = emb.unionByName(dups)
+    # n_planes scales with corpus size (bucket occupancy ~ N/2^b): keep
+    # candidate volume ~ L * N^2 / 2^b manageable at any scale
+    nd_planes = 18 if _LONG else 14
+    t0 = time.perf_counter()
+    n_dup_pairs = cosine_near_dup_pairs(
+        near_corpus, threshold=0.95, dim=64, n_planes=nd_planes,
+        n_tables=12, max_bucket_size=1000,
+    ).count()
+    queries["cosine_near_dup_500k"] = round(time.perf_counter() - t0, 3)
+    extras["cosine_near_dup_pairs_found"] = n_dup_pairs
+    extras["cosine_near_dup_n_vecs"] = n_vecs + n_vecs // 100
+
+    ivf_q = emb.filter("vec_id < 32")
+    t0 = time.perf_counter()
+    ivf_rows = ann_topk_ivf(
+        emb, ivf_q, dim=64, k=10, n_centroids=64, nprobe=8
+    ).count()
+    queries["ann_ivf_topk_32q"] = round(time.perf_counter() - t0, 3)
+    extras["ann_ivf_rows"] = ivf_rows
+    emb.unpersist()
+
     # ---------- accuracy vs bounds at bench scale (error-vs-bound sweep)
     exact_convs = tr.select("conv_id").distinct().count()
     est_convs = res.sketches["convs"].cardinality()

@@ -77,9 +77,14 @@ class SketchSpec:
         if self.kind == "cuckoo":
             return CuckooFilter(p.get("len", 1 << 16), p.get("f", 12))
         if self.kind == "smallcuckoo":
-            from ..sketches.smallcuckoo import SmallCuckooFilter
+            # params={"resident": True} builds with the semisorted layout
+            # resident in executor memory (reference SmallCuckoo's actual
+            # RAM trade); default keeps the Fast layout and compresses on
+            # the wire only
+            from ..sketches.smallcuckoo import ResidentSmallCuckoo, SmallCuckooFilter
 
-            return SmallCuckooFilter(p.get("len", 1 << 16), p.get("f", 12))
+            klass = ResidentSmallCuckoo if p.get("resident") else SmallCuckooFilter
+            return klass(p.get("len", 1 << 16), p.get("f", 12))
         if self.kind == "tdigest":
             return TDigest(p.get("delta", 200.0))
         return KLL(p.get("k", 200))

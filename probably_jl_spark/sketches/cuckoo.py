@@ -339,7 +339,7 @@ class CuckooFilter:
             "occupied": int(round(self.loadfactor() * 4 * self.nbuckets)),
             "loadfactor": self.loadfactor(),
             "capacity": self.capacity(),
-            "memory_bytes": self.buckets.nbytes,
+            "memory_bytes": self.buckets.nbytes if self.buckets is not None else 0,
             "closed": bool(self.ejected),
             "fprof": self.fprof(),
         }

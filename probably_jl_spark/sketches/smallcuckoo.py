@@ -17,14 +17,21 @@ encode(decode(x)) == x over random buckets with exactly 3876 distinct
 prefix codes (test/cuckoo_bucket.jl:141-168).
 
 Architectural mapping (SURVEY.md §2.4): in Spark the scarce resource is
-not resident RAM but the bytes a sketch state occupies on the wire and in
-the checkpoint table — so ``SmallCuckooFilter`` runs the full-speed
+usually the bytes a sketch state occupies on the wire and in the
+checkpoint table — so ``SmallCuckooFilter`` runs the full-speed
 FastCuckoo layout *in memory* and applies the semisorted encoding in
 ``to_bytes``/``from_bytes``: every serialized bucket costs 12 + 4*(f-4)
 bits instead of 4f. That is the same 4-bits-per-bucket saving as the
 reference, paid at (de)serialization time instead of on every probe —
 mirroring the reference's own speed/space framing (FastCuckoo ~2.5x
 faster, SmallCuckoo ~10% smaller, docs/src/cuckoo.md:35).
+
+For memory-parity users, ``ResidentSmallCuckoo`` additionally keeps the
+semisorted layout RESIDENT (the reference SmallCuckoo's actual RAM
+trade): the in-memory storage is the packed code bitstream itself —
+byte-identical to the wire payload, so serialization is a memcpy — at
+the documented Small-speed cost per mutation. Enable through
+``SketchSpec(..., "smallcuckoo", params={"resident": True})``.
 
 The codec is linear: for f <= 16 (codes fit uint64) both directions are
 fully vectorized numpy bit-matrix packs; for f in 17..32 a streaming
@@ -143,6 +150,37 @@ def _decode_codes_u64(codes: np.ndarray, f: int, nbuckets: int) -> np.ndarray:
     return W.reshape(nbuckets, 1)
 
 
+def pack_payload(filt: CuckooFilter) -> bytes:
+    """Semisort-compressed payload: one big-endian bitstream of per-bucket
+    codes, bucket b at bits [b*(12+4(f-4)), ...). Shared by the wire
+    format and the resident layout (they are byte-identical)."""
+    f = filt.f
+    bits_per = 12 + 4 * (f - 4)
+    if f <= 16:
+        codes = _encode_codes_u64(filt)
+        shifts = np.arange(bits_per - 1, -1, -1, dtype=np.uint64)
+        bits = ((codes[:, None] >> shifts) & _U(1)).astype(np.uint8)
+        return np.packbits(bits.ravel()).tobytes()
+    # f in 17..32: streaming big-int pack with a bounded accumulator
+    acc = 0
+    acc_bits = 0
+    out = bytearray()
+    fpmask = filt.fpmask
+    for b in range(filt.nbuckets):
+        w = filt._get_bucket(b)
+        fps = [(w >> (s * f)) & fpmask for s in range(4)]
+        nbits, code = encode_bucket(fps, f)
+        acc = (acc << nbits) | code
+        acc_bits += nbits
+        while acc_bits >= 8:
+            acc_bits -= 8
+            out.append((acc >> acc_bits) & 0xFF)
+        acc &= (1 << acc_bits) - 1  # keep the accumulator tiny (O(1))
+    if acc_bits:
+        out.append((acc << (8 - acc_bits)) & 0xFF)
+    return bytes(out)
+
+
 class SmallCuckooFilter(CuckooFilter):
     """CuckooFilter with semisorted-compressed serialization: identical
     membership/insert/delete semantics and in-memory layout (buckets are
@@ -150,33 +188,8 @@ class SmallCuckooFilter(CuckooFilter):
     bucket on the wire instead of 4f."""
 
     def to_bytes(self) -> bytes:
-        f = self.f
-        bits_per = 12 + 4 * (f - 4)
-        hdr = _HDR.pack(f, self.nbuckets, self.ejected, self.ejected_index)
-        if f <= 16:
-            codes = _encode_codes_u64(self)
-            shifts = np.arange(bits_per - 1, -1, -1, dtype=np.uint64)
-            bits = ((codes[:, None] >> shifts) & _U(1)).astype(np.uint8)
-            out = np.packbits(bits.ravel()).tobytes()
-            return codec.wrap(codec.KIND_CUCKOO, hdr, out, version=2)
-        # f in 17..32: streaming big-int pack with a bounded accumulator
-        acc = 0
-        acc_bits = 0
-        out = bytearray()
-        fpmask = self.fpmask
-        for b in range(self.nbuckets):
-            w = self._get_bucket(b)
-            fps = [(w >> (s * f)) & fpmask for s in range(4)]
-            nbits, code = encode_bucket(fps, f)
-            acc = (acc << nbits) | code
-            acc_bits += nbits
-            while acc_bits >= 8:
-                acc_bits -= 8
-                out.append((acc >> acc_bits) & 0xFF)
-            acc &= (1 << acc_bits) - 1  # keep the accumulator tiny (O(1))
-        if acc_bits:
-            out.append((acc << (8 - acc_bits)) & 0xFF)
-        return codec.wrap(codec.KIND_CUCKOO, hdr, bytes(out), version=2)
+        hdr = _HDR.pack(self.f, self.nbuckets, self.ejected, self.ejected_index)
+        return codec.wrap(codec.KIND_CUCKOO, hdr, pack_payload(self), version=2)
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "SmallCuckooFilter":
@@ -211,3 +224,204 @@ class SmallCuckooFilter(CuckooFilter):
 
     def sizeof_serialized_bits(self) -> int:
         return (12 + 4 * (self.f - 4)) * self.nbuckets
+
+
+class ResidentSmallCuckoo(CuckooFilter):
+    """Semisorted buckets RESIDENT in memory — the reference SmallCuckoo's
+    actual layout (src/cuckoo/bucket.jl:64-123, filter.jl:41-58), closing
+    the one SURVEY §2.4 row the wire-only compression left partial.
+
+    Storage is the packed code bitstream itself, byte-identical to the v2
+    wire payload: 12 + 4*(f-4) bits per bucket resident (f=12: 44 bits vs
+    the Fast layout's 64-bit word, ~31% smaller; vs the reference Fast's
+    4f=48 bits it is the same 1-bit-per-fp saving the reference
+    advertises). (De)serialization is a header + memcpy — zero transcode.
+
+    Speed/space trade (the reference's own: Fast ~2.5x faster, Small
+    smaller, docs/src/cuckoo.md:35): every mutation decodes/encodes one
+    bucket through the combinadic codec; batch membership stays fully
+    vectorized for f <= 16 (windowed bit-gather + vector unrank) and
+    falls back to scalar probes for f in 17..32. Same deterministic kick
+    sequence machinery as the Fast layout, but decoded buckets present
+    slots in sorted order, so once kicks occur the two layouts may evict
+    different fingerprints — both remain valid filters; equality against
+    a Fast filter compares the canonical semisorted encoding."""
+
+    __slots__ = ("packed",)
+
+    def __init__(
+        self,
+        len_slots: int = 1 << 12,
+        f: int = 12,
+        packed: np.ndarray | None = None,
+        ejected: int = 0,
+        ejected_index: int = 0,
+    ):
+        super().__init__(len_slots, f, None, ejected, ejected_index)
+        self.buckets = None  # resident storage is `packed`
+        nbytes = (self.nbuckets * self._bits_per + 7) // 8
+        if packed is None:
+            packed = np.zeros(nbytes, dtype=np.uint8)  # empty bucket code == 0
+        else:
+            packed = np.asarray(packed, dtype=np.uint8)
+            if packed.size != nbytes:
+                raise ValueError("packed payload size mismatch")
+        self.packed = packed
+
+    @property
+    def _bits_per(self) -> int:
+        return 12 + 4 * (self.f - 4)
+
+    # ------------------------------------------------- bit-window access
+    def _read_code(self, b: int) -> int:
+        bits = self._bits_per
+        start = b * bits
+        sb, eb = start >> 3, (start + bits + 7) >> 3
+        chunk = int.from_bytes(self.packed[sb:eb].tobytes(), "big")
+        return (chunk >> (eb * 8 - start - bits)) & ((1 << bits) - 1)
+
+    def _write_code(self, b: int, code: int) -> None:
+        bits = self._bits_per
+        start = b * bits
+        sb, eb = start >> 3, (start + bits + 7) >> 3
+        chunk = int.from_bytes(self.packed[sb:eb].tobytes(), "big")
+        sh = eb * 8 - start - bits
+        mask = ((1 << bits) - 1) << sh
+        chunk = (chunk & ~mask) | (code << sh)
+        self.packed[sb:eb] = np.frombuffer(
+            chunk.to_bytes(eb - sb, "big"), dtype=np.uint8
+        )
+
+    # ------------------------------------------- CuckooFilter bucket API
+    def _get_bucket(self, b: int) -> int:
+        fps = decode_bucket(self._read_code(b), self.f)
+        w = 0
+        for s, fp in enumerate(fps):
+            w |= fp << (s * self.f)
+        return w
+
+    def _set_bucket(self, b: int, w: int) -> None:
+        fps = [(w >> (s * self.f)) & self.fpmask for s in range(4)]
+        _, code = encode_bucket(fps, self.f)
+        self._write_code(b, code)
+
+    # ------------------------------------------------- vectorized reads
+    def _codes_at(self, idx: np.ndarray) -> np.ndarray:
+        """Per-bucket codes for f <= 16 (code <= 60 bits): gather a 16-byte
+        window per index, combine to two big-endian uint64s, shift out."""
+        bits = _U(self._bits_per)
+        start = idx.astype(np.int64) * int(bits)
+        sb = start >> 3
+        ofs = (start & 7).astype(np.uint64)
+        pad = np.concatenate([self.packed, np.zeros(16, dtype=np.uint8)])
+        win = pad[sb[:, None] + np.arange(16)].astype(np.uint64)
+        A = np.zeros(idx.size, dtype=np.uint64)
+        B = np.zeros(idx.size, dtype=np.uint64)
+        for j in range(8):
+            A = (A << _U(8)) | win[:, j]
+            B = (B << _U(8)) | win[:, 8 + j]
+        aligned = (A << ofs) | np.where(ofs > 0, B >> ((_U(64) - ofs) & _U(63)), _U(0))
+        return aligned >> (_U(64) - bits)
+
+    def _all_words(self) -> np.ndarray:
+        """(nbuckets, wpb) decoded word view (for metrics/merge)."""
+        if self.f <= 16:
+            codes = self._codes_at(np.arange(self.nbuckets, dtype=np.int64))
+            return _decode_codes_u64(codes, self.f, self.nbuckets)
+        out = np.zeros((self.nbuckets, 2), dtype=np.uint64)
+        for b in range(self.nbuckets):
+            w = self._get_bucket(b)
+            out[b, 0] = _U(w & 0xFFFFFFFFFFFFFFFF)
+            out[b, 1] = _U((w >> 64) & 0xFFFFFFFFFFFFFFFF)
+        return out
+
+    def contains_hashes(self, h: np.ndarray) -> np.ndarray:
+        if self.f > 16:  # scalar fallback (documented Small-speed path)
+            return np.fromiter(
+                (self.contains_hash(int(x)) for x in h.tolist()), dtype=bool, count=h.size
+            )
+        h = h.astype(np.uint64, copy=False)
+        fp = self.fingerprints(h)
+        i1 = self.primary_index(h)
+        i2 = self.other_index(i1, fp)
+        out = np.zeros(h.size, dtype=bool)
+        for idx in (i1, i2):
+            W = _decode_codes_u64(self._codes_at(idx), self.f, idx.size)
+            for s in range(4):
+                out |= self._slot_vals(W, s) == fp
+        if self.ejected:
+            out |= fp == _U(self.ejected)
+        return out
+
+    # ----------------------------------------------- metrics / plumbing
+    def loadfactor(self) -> float:
+        W = self._all_words()
+        used = 0
+        for s in range(4):
+            used += int((self._slot_vals(W, s) != 0).sum())
+        return used / (4 * self.nbuckets)
+
+    def is_empty(self) -> bool:
+        return not self.packed.any() and not self.ejected
+
+    def clear(self) -> None:
+        self.packed.fill(0)
+        self.ejected = 0
+        self.ejected_index = 0
+
+    def merge(self, other: CuckooFilter) -> tuple[CuckooFilter, bool]:
+        if (self.f, self.nbuckets) != (other.f, other.nbuckets):
+            raise ValueError("cuckoo parameter mismatch in merge")
+        ok = True
+        if isinstance(other, ResidentSmallCuckoo):
+            nonzero = np.flatnonzero(
+                other._all_words().any(axis=1) if self.f > 16
+                else other._codes_at(np.arange(other.nbuckets, dtype=np.int64)) != 0
+            )
+        else:
+            nonzero = np.flatnonzero(other.buckets.any(axis=1))
+        for b in nonzero.tolist():
+            w = other._get_bucket(b)
+            for s in range(4):
+                fp = (w >> (s * self.f)) & self.fpmask
+                if fp:
+                    ok &= self.push_fp(fp, b)
+        if other.ejected:
+            ok &= self.push_fp(other.ejected, other.ejected_index)
+        return self, ok
+
+    def stats(self) -> dict:
+        out = super().stats()
+        out["memory_bytes"] = self.packed.nbytes
+        out["layout"] = "resident-semisorted"
+        return out
+
+    def copy(self) -> "ResidentSmallCuckoo":
+        return ResidentSmallCuckoo(
+            self.nbuckets * 4, self.f, self.packed.copy(), self.ejected, self.ejected_index
+        )
+
+    def __eq__(self, other) -> bool:
+        if not isinstance(other, CuckooFilter):
+            return False
+        if (self.f, self.nbuckets, self.ejected) != (other.f, other.nbuckets, other.ejected):
+            return False
+        if isinstance(other, ResidentSmallCuckoo):
+            return bool(np.array_equal(self.packed, other.packed))
+        # cross-layout: compare canonical semisorted encodings
+        return self.packed.tobytes() == pack_payload(other)
+
+    def __hash__(self):
+        return hash((self.f, self.nbuckets, self.ejected, self.packed.tobytes()))
+
+    # --------------------------------------------------------------- io
+    def to_bytes(self) -> bytes:
+        # the resident layout IS the wire payload: header + memcpy
+        hdr = _HDR.pack(self.f, self.nbuckets, self.ejected, self.ejected_index)
+        return codec.wrap(codec.KIND_CUCKOO, hdr, self.packed.tobytes(), version=2)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "ResidentSmallCuckoo":
+        header, payload = codec.unwrap(data, codec.KIND_CUCKOO, expected_version=2)
+        f, nbuckets, ej, eji = _HDR.unpack(header)
+        return cls(nbuckets * 4, f, np.frombuffer(payload, dtype=np.uint8).copy(), ej, eji)

