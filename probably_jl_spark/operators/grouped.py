@@ -34,6 +34,7 @@ on this.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -91,8 +92,13 @@ def _partial_builder(specs: list[SketchSpec], group_cols: list[str], col_map: di
                 # back a fresh NaN object per batch and (nan,) tuples never
                 # compare equal, so without this every batch would open a
                 # new dict entry for the NaN group and the per-key merge
-                # order would ride on shuffle row order (ADVICE r2)
-                kt = tuple(None if (isinstance(x, float) and x != x) else x for x in kt)
+                # order would ride on shuffle row order (ADVICE r2).
+                # np.floating covers FloatType columns: np.float32 is NOT a
+                # Python-float subclass (code-review r3)
+                kt = tuple(
+                    None if (isinstance(x, (float, np.floating)) and x != x) else x
+                    for x in kt
+                )
                 ent = states.get(kt)
                 if ent is None:
                     ent = states[kt] = [0, {s.name: s.new() for s in specs}]
@@ -158,9 +164,10 @@ def _pre_merge_states(
     prepared = df.select(*[F.col(c) for c in group_cols], *spec_cols)
     if salt_buckets is None:
         try:
-            # plan -> RDD conversion is metadata-only for batch plans, but
-            # is not safe on every thread (e.g. py4j foreachBatch
-            # callbacks deadlock): fall back to the no-salt default there
+            # plan -> RDD conversion is metadata-only for batch plans
+            # (verified safe on foreachBatch callback threads too); the
+            # fallback covers plans that cannot convert (e.g. an
+            # un-materialized streaming source)
             salt_buckets = _auto_salt_buckets(prepared.rdd.getNumPartitions())
         except Exception:
             salt_buckets = 1

@@ -563,12 +563,16 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def exact_dedup_map_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Narrow-exchange dedup map (one row per distinct text, 128-bit
-    hash key): the at-scale variant whose shuffle moves ~24 bytes/row
-    instead of full documents. Oracle recomputes md5 + min-id in DuckDB."""
+    """Narrow-exchange dedup map (one row per distinct text, 16-byte
+    binary hash key): the at-scale variant whose shuffle moves ~24
+    bytes/row instead of full documents. The binary key is hex-encoded
+    only here, for the oracle compare (DuckDB md5() emits lowercase
+    hex)."""
     from .operators.dedup import exact_dedup_map
 
-    return exact_dedup_map(_aug_docs(spark, sf_dir)).select("text_hash", "rep_id")
+    return exact_dedup_map(_aug_docs(spark, sf_dir)).select(
+        F.lower(F.hex("text_hash")).alias("text_hash"), "rep_id"
+    )
 
 
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -308,7 +308,7 @@ class CuckooFilter:
         if (self.f, self.nbuckets) != (other.f, other.nbuckets):
             raise ValueError("cuckoo parameter mismatch in merge")
         ok = True
-        nonzero = np.flatnonzero(other.buckets.any(axis=1))
+        nonzero = other._nonzero_buckets()
         for b in nonzero.tolist():
             w = other._get_bucket(b)
             for s in range(4):
@@ -318,6 +318,11 @@ class CuckooFilter:
         if other.ejected:
             ok &= self.push_fp(other.ejected, other.ejected_index)
         return self, ok
+
+    def _nonzero_buckets(self) -> np.ndarray:
+        """Indices of non-empty buckets — layout-agnostic hook so merge
+        works with any storage (ResidentSmallCuckoo overrides)."""
+        return np.flatnonzero(self.buckets.any(axis=1))
 
     # ------------------------------------------------------------ metrics
     def loadfactor(self) -> float:
@@ -367,9 +372,15 @@ class CuckooFilter:
         )
 
     def __eq__(self, other) -> bool:
+        if not isinstance(other, CuckooFilter):
+            return False
+        if getattr(other, "buckets", None) is None and self.buckets is not None:
+            # other is a resident-compressed layout (sibling class, so
+            # Python's reflected-eq rule doesn't fire): delegate so
+            # equality stays symmetric (code-review r3)
+            return other.__eq__(self)
         return (
-            isinstance(other, CuckooFilter)
-            and self.f == other.f
+            self.f == other.f
             and self.nbuckets == other.nbuckets
             and self.ejected == other.ejected
             and bool(np.array_equal(self.buckets, other.buckets))

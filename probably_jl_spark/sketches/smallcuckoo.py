@@ -247,7 +247,7 @@ class ResidentSmallCuckoo(CuckooFilter):
     different fingerprints — both remain valid filters; equality against
     a Fast filter compares the canonical semisorted encoding."""
 
-    __slots__ = ("packed",)
+    __slots__ = ("packed", "_padded")
 
     def __init__(
         self,
@@ -257,6 +257,9 @@ class ResidentSmallCuckoo(CuckooFilter):
         ejected: int = 0,
         ejected_index: int = 0,
     ):
+        # super() transiently allocates the word-layout array before we
+        # drop it: np.zeros is calloc-backed (virtual, never touched), so
+        # no physical memory is committed
         super().__init__(len_slots, f, None, ejected, ejected_index)
         self.buckets = None  # resident storage is `packed`
         nbytes = (self.nbuckets * self._bits_per + 7) // 8
@@ -267,6 +270,7 @@ class ResidentSmallCuckoo(CuckooFilter):
             if packed.size != nbytes:
                 raise ValueError("packed payload size mismatch")
         self.packed = packed
+        self._padded = None  # lazy 16-byte-padded read buffer (_codes_at)
 
     @property
     def _bits_per(self) -> int:
@@ -291,6 +295,7 @@ class ResidentSmallCuckoo(CuckooFilter):
         self.packed[sb:eb] = np.frombuffer(
             chunk.to_bytes(eb - sb, "big"), dtype=np.uint8
         )
+        self._padded = None  # invalidate the vectorized-read buffer
 
     # ------------------------------------------- CuckooFilter bucket API
     def _get_bucket(self, b: int) -> int:
@@ -313,8 +318,9 @@ class ResidentSmallCuckoo(CuckooFilter):
         start = idx.astype(np.int64) * int(bits)
         sb = start >> 3
         ofs = (start & 7).astype(np.uint64)
-        pad = np.concatenate([self.packed, np.zeros(16, dtype=np.uint8)])
-        win = pad[sb[:, None] + np.arange(16)].astype(np.uint64)
+        if self._padded is None:  # rebuilt only after a mutation
+            self._padded = np.concatenate([self.packed, np.zeros(16, dtype=np.uint8)])
+        win = self._padded[sb[:, None] + np.arange(16)].astype(np.uint64)
         A = np.zeros(idx.size, dtype=np.uint64)
         B = np.zeros(idx.size, dtype=np.uint64)
         for j in range(8):
@@ -366,29 +372,18 @@ class ResidentSmallCuckoo(CuckooFilter):
 
     def clear(self) -> None:
         self.packed.fill(0)
+        self._padded = None
         self.ejected = 0
         self.ejected_index = 0
 
-    def merge(self, other: CuckooFilter) -> tuple[CuckooFilter, bool]:
-        if (self.f, self.nbuckets) != (other.f, other.nbuckets):
-            raise ValueError("cuckoo parameter mismatch in merge")
-        ok = True
-        if isinstance(other, ResidentSmallCuckoo):
-            nonzero = np.flatnonzero(
-                other._all_words().any(axis=1) if self.f > 16
-                else other._codes_at(np.arange(other.nbuckets, dtype=np.int64)) != 0
+    def _nonzero_buckets(self) -> np.ndarray:
+        """Merge hook (base CuckooFilter.merge is layout-agnostic through
+        this + the bucket accessors; empty bucket <=> code 0)."""
+        if self.f <= 16:
+            return np.flatnonzero(
+                self._codes_at(np.arange(self.nbuckets, dtype=np.int64)) != 0
             )
-        else:
-            nonzero = np.flatnonzero(other.buckets.any(axis=1))
-        for b in nonzero.tolist():
-            w = other._get_bucket(b)
-            for s in range(4):
-                fp = (w >> (s * self.f)) & self.fpmask
-                if fp:
-                    ok &= self.push_fp(fp, b)
-        if other.ejected:
-            ok &= self.push_fp(other.ejected, other.ejected_index)
-        return self, ok
+        return np.flatnonzero(self._all_words().any(axis=1))
 
     def stats(self) -> dict:
         out = super().stats()

@@ -24,7 +24,8 @@ import numpy as np
 
 from . import codec
 
-_HDR = struct.Struct("<dQQdd")  # delta, n_centroids, ingested, min, max
+_HDR = struct.Struct("<dQQdd")  # v2: delta, n_centroids, ingested, min, max
+_HDR_V1 = struct.Struct("<dQdd")  # v1 (r2): no ingested counter
 # Clustering passes fire only when the GLOBAL unweighted ingest count
 # crosses a multiple of _B: the centroid state is then a deterministic
 # function of the value sequence alone, independent of how callers slice
@@ -231,13 +232,25 @@ class TDigest:
         self._flush()
         hdr = _HDR.pack(self.delta, self.means.size, self._ingested, self.vmin, self.vmax)
         return codec.wrap(
-            codec.KIND_TDIGEST, hdr, self.means.tobytes() + self.weights.tobytes()
+            codec.KIND_TDIGEST, hdr, self.means.tobytes() + self.weights.tobytes(),
+            version=2,
         )
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "TDigest":
-        header, payload = codec.unwrap(data, codec.KIND_TDIGEST)
-        delta, nc, ingested, vmin, vmax = _HDR.unpack(header)
+        # v2 carries the ingest counter; v1 blobs (r2 checkpoints) still
+        # read — without the counter they are merge/query-safe but restart
+        # the _B alignment at 0 if ingestion continues (the pre-v2
+        # behavior for every blob)
+        version = codec.peek_version(data)
+        header, payload = codec.unwrap(data, codec.KIND_TDIGEST, expected_version=version)
+        if version == 2:
+            delta, nc, ingested, vmin, vmax = _HDR.unpack(header)
+        elif version == 1:
+            delta, nc, vmin, vmax = _HDR_V1.unpack(header)
+            ingested = 0
+        else:
+            raise ValueError(f"unknown t-digest wire version {version}")
         arr = np.frombuffer(payload, dtype=np.float64)
         out = cls(delta, arr[:nc].copy(), arr[nc:].copy(), vmin, vmax)
         out._ingested = int(ingested)  # preserve the _B boundary alignment

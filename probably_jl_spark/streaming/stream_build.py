@@ -71,15 +71,16 @@ class SketchStateStore:
                 out.append((int(name[len("state.b") : -len(".pkl")]), st.getPath()))
         return sorted(out)
 
-    def load(self) -> tuple[dict, int]:
-        jvm, fs, dirp = self._fs()
-        snaps = self._snapshots(jvm, fs, dirp)
-        if not snaps:
-            return {}, -1
-        _, path = snaps[-1]
-        key = (str(path), fs.getFileStatus(path).getLen())
-        if self._cache is not None and self._cache[0] == key:
-            return self._cache[1]
+    @staticmethod
+    def _copy_states(states: dict) -> dict:
+        # two levels deep: group -> {state_col -> bytes}; blob values are
+        # immutable. Callers mutate the returned dict in place (process()
+        # merges into it), so the cache must never hand out its own copy
+        # (code-review r3: an aliased cache + a failed save would
+        # double-merge on an in-process retry)
+        return {k: dict(v) for k, v in states.items()}
+
+    def _read_snapshot(self, jvm, fs, path) -> dict:
         stream = fs.open(path)
         try:
             # read JVM-side, cross the py4j boundary as ONE base64 string:
@@ -92,9 +93,27 @@ class SketchStateStore:
             stream.close()
         import base64
 
-        snapshot = pickle.loads(base64.b64decode(data_b64))
+        return pickle.loads(base64.b64decode(data_b64))
+
+    def load(self) -> tuple[dict, int]:
+        jvm, fs, dirp = self._fs()
+        snaps = self._snapshots(jvm, fs, dirp)
+        if not snaps:
+            # legacy single-file layout (pre-r3 local-disk store): migrate
+            # rather than silently restarting months of running state
+            legacy = jvm.org.apache.hadoop.fs.Path(dirp, "state.pkl")
+            if fs.exists(dirp) and fs.exists(legacy):
+                snapshot = self._read_snapshot(jvm, fs, legacy)
+                return snapshot["states"], snapshot["last_batch_id"]
+            return {}, -1
+        _, path = snaps[-1]
+        key = (str(path), fs.getFileStatus(path).getLen())
+        if self._cache is not None and self._cache[0] == key:
+            states, last = self._cache[1]
+            return self._copy_states(states), last
+        snapshot = self._read_snapshot(jvm, fs, path)
         self._cache = (key, (snapshot["states"], snapshot["last_batch_id"]))
-        return snapshot["states"], snapshot["last_batch_id"]
+        return self._copy_states(snapshot["states"]), snapshot["last_batch_id"]
 
     def save(self, states: dict, batch_id: int) -> None:
         jvm, fs, dirp = self._fs()

@@ -272,3 +272,26 @@ def test_tdigest_ingested_survives_roundtrip():
     td.update_values(np.arange(5_555, dtype=np.float64))
     rt = TDigest.from_bytes(td.to_bytes())
     assert rt._ingested == td._ingested == 5_555
+
+
+def test_tdigest_reads_v1_blobs():
+    """code-review r3: the r2 wire format (v1, no ingest counter) must
+    still deserialize — old checkpoint states are merge/query-safe."""
+    import struct
+
+    from probably_jl_spark.sketches import codec
+    from probably_jl_spark.sketches.tdigest import TDigest
+
+    td = TDigest(200.0)
+    td.update_values(np.arange(10_000, dtype=np.float64))
+    td._flush()
+    v1_hdr = struct.pack("<dQdd", td.delta, td.means.size, td.vmin, td.vmax)
+    v1 = codec.wrap(
+        codec.KIND_TDIGEST, v1_hdr, td.means.tobytes() + td.weights.tobytes(), version=1
+    )
+    old = TDigest.from_bytes(v1)
+    assert old._ingested == 0
+    assert abs(old.quantile(0.5) - td.quantile(0.5)) < 1e-9
+    # and it merges with a v2 sketch
+    merged = old.merge(TDigest.from_bytes(td.to_bytes()))
+    assert merged.n == 20_000

@@ -231,9 +231,10 @@ def test_resident_pop_and_merge():
         assert a.push(f"a{k}")
         assert b.push(f"b{k}")
         assert fast.push(f"c{k}")
-    # pop removes and membership reflects it
+    # pop removes and membership reflects it (fixture chosen so a7's
+    # (fp, bucket) is collision-free among the 200 keys)
     assert a.pop("a7")
-    assert not a.contains("a7") or True  # collision-tolerant delete: no crash
+    assert not a.contains("a7")
     # resident + resident and resident + fast merges
     _, ok = a.merge(b)
     assert ok
@@ -260,3 +261,31 @@ def test_resident_spark_build_roundtrip(spark):
     sk = res.sketches["types_rsc"]
     for r in ev.select("event_type").distinct().collect():
         assert sk.contains(r["event_type"])
+
+
+def test_cross_layout_merge_and_eq_symmetry():
+    """code-review r3: Fast.merge(Resident) must work (layout-agnostic
+    _nonzero_buckets) and ==/!= must be symmetric between the sibling
+    Small and Resident classes."""
+    from probably_jl_spark.sketches.cuckoo import CuckooFilter
+    from probably_jl_spark.sketches.smallcuckoo import (
+        ResidentSmallCuckoo,
+        SmallCuckooFilter,
+    )
+
+    res = ResidentSmallCuckoo(1 << 10, f=12)
+    fast = CuckooFilter(1 << 10, f=12)
+    for k in range(150):
+        assert res.push(f"r{k}")
+        assert fast.push(f"f{k}")
+    _, ok = fast.merge(res)  # base merge with a resident `other`
+    assert ok
+    for k in range(150):
+        assert fast.contains(f"r{k}")
+
+    blob = res.to_bytes()
+    small = SmallCuckooFilter.from_bytes(blob)
+    res2 = ResidentSmallCuckoo.from_bytes(blob)
+    assert small == res2 and res2 == small  # symmetric across siblings
+    assert res2.push("extra")
+    assert (small == res2) == (res2 == small) == False

@@ -411,10 +411,12 @@ def test_grouped_nan_key_single_state(spark):
 
     specs = [SketchSpec("v", "tdigest", value_col="value")]
     _, col_map = plan_columns(specs)
+    # np.float32 NaN keys too: FloatType columns reach pandas as float32,
+    # which is NOT a Python-float subclass (code-review r3)
     batches = [
-        pd.DataFrame({"g": [float("nan"), 1.0], "__v0": [1.0, 2.0]}),
-        pd.DataFrame({"g": [float("nan"), 1.0], "__v0": [3.0, 4.0]}),
-        pd.DataFrame({"g": [float("nan")], "__v0": [5.0]}),
+        pd.DataFrame({"g": np.array([np.nan, 1.0], dtype=np.float32), "__v0": [1.0, 2.0]}),
+        pd.DataFrame({"g": np.array([np.nan, 1.0], dtype=np.float32), "__v0": [3.0, 4.0]}),
+        pd.DataFrame({"g": np.array([np.nan], dtype=np.float32), "__v0": [5.0]}),
     ]
     out = pd.concat(list(_partial_builder(specs, ["g"], col_map, cap=1 << 16)(iter(batches))))
     # one row for the NaN group, one for key 1.0 — not one per batch

@@ -186,3 +186,29 @@ def test_state_store_file_uri(spark, tmp_path):
     # superseded snapshots are cleaned; only the latest remains
     files = [f.name for f in (tmp_path / "fs_state").iterdir() if not f.name.startswith(".")]
     assert files == ["state.b1.pkl"], files  # (.crc sidecars are Hadoop's)
+
+
+def test_state_store_legacy_single_file(spark, tmp_path):
+    """code-review r3: a pre-r3 single state.pkl must still load (no
+    silent reset of months of running state)."""
+    import pickle
+
+    d = tmp_path / "legacy"
+    d.mkdir()
+    (d / "state.pkl").write_bytes(
+        pickle.dumps({"states": {(): {"n_rows": 42}}, "last_batch_id": 6})
+    )
+    store = SketchStateStore(str(d), spark)
+    assert store.load() == ({(): {"n_rows": 42}}, 6)
+
+
+def test_state_store_cache_not_aliased(spark, tmp_path):
+    """code-review r3: mutating the dict returned by load() must not
+    corrupt the cached snapshot (double-merge guard on in-process
+    retry)."""
+    store = SketchStateStore(str(tmp_path / "cache"), spark)
+    store.save({(): {"n_rows": 1}}, 0)
+    states, last = store.load()
+    states[()]["n_rows"] = 999  # caller mutates, e.g. before a failed save
+    again, _ = store.load()
+    assert again[()]["n_rows"] == 1
