@@ -30,8 +30,10 @@ def _collect_queries(query_df: DataFrame, id_col: str, vec_col: str, dtype=np.fl
 
 def _cosine_udf():
     """Normalized-cosine pandas UDF (created lazily: pandas_udf needs an
-    active session). Single definition shared by the LSH rerank and the
-    near-dup pipeline."""
+    active session). Kept for column-level composition; the bulk rerank
+    paths use ``_rerank_pairs`` (mapInArrow) instead — the pandas UDF's
+    ``np.array(series.tolist())`` conversion was 97% of the near-dup
+    runtime at 14M candidate pairs (r3 profile)."""
 
     @F.pandas_udf("double")
     def cos(qv: pd.Series, xv: pd.Series) -> pd.Series:
@@ -42,6 +44,52 @@ def _cosine_udf():
         return pd.Series((an * bn).sum(axis=1).astype(np.float64))
 
     return cos
+
+
+def _rerank_pairs(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    keep_cols: list[str],
+    sim_col: str = "sim",
+) -> DataFrame:
+    """Exact-cosine rerank over candidate pairs as a ``mapInArrow`` stage:
+    the two vector list-columns are read through their FLAT Arrow value
+    buffers (one memcpy-at-most per batch) instead of the pandas-UDF
+    ``tolist()`` per-row materialization — measured 15x+ on 14M pairs.
+    Emits ``keep_cols + [sim]``; vectors are consumed here and never
+    travel further up the plan. No input buffer is mutated (cosine is
+    computed as dot/(|a||b|) on views)."""
+    import pyarrow as pa
+
+    schema = ", ".join([f"{c} long" for c in keep_cols] + [f"{sim_col} double"])
+
+    def fn(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            names = batch.schema.names
+
+            def mat(colname):
+                arr = batch.column(names.index(colname))
+                # flatten() honors list offsets/slices; the flat float
+                # buffer reshapes to (rows, dim) without per-row Python
+                flat = arr.flatten().to_numpy(zero_copy_only=False)
+                return np.ascontiguousarray(flat, dtype=np.float32).reshape(n, -1)
+
+            a = mat(a_col)
+            b = mat(b_col)
+            dot = np.einsum("ij,ij->i", a, b, dtype=np.float64)
+            norm = np.maximum(
+                np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1), 1e-12
+            ).astype(np.float64)
+            sim = dot / norm
+            arrays = [batch.column(names.index(c)) for c in keep_cols]
+            arrays.append(pa.array(sim, type=pa.float64()))
+            yield pa.RecordBatch.from_arrays(arrays, keep_cols + [sim_col])
+
+    return df.mapInArrow(fn, schema)
 
 
 def cosine_topk(
@@ -235,15 +283,15 @@ def ann_topk_lsh(
     )
     qvecs = query_df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     nvecs = emb_df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
-    scored = (
-        cands.join(F.broadcast(qvecs), "query_id")
-        .join(nvecs, "neighbor_id")
-        .withColumn("sim", _cosine_udf()(F.col("qvec"), F.col(vec_col)))
+    scored = _rerank_pairs(
+        cands.join(F.broadcast(qvecs), "query_id").join(nvecs, "neighbor_id"),
+        "qvec",
+        vec_col,
+        ["query_id", "neighbor_id"],
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        scored.select("query_id", "neighbor_id", "sim")
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 
@@ -303,12 +351,9 @@ def cosine_near_dup_pairs(
     )
     va = emb_df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = emb_df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        pairs.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("sim", _cosine_udf()("va", "vb"))
-        .filter(F.col("sim") >= threshold)
-        .select("id_a", "id_b", "sim")
+    attached = pairs.join(va, "id_a").join(vb, "id_b")
+    return _rerank_pairs(attached, "va", "vb", ["id_a", "id_b"]).filter(
+        F.col("sim") >= threshold
     )
 
 
@@ -455,14 +500,14 @@ def ann_topk_ivf(
     )
     qvecs = query_df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     nvecs = emb_df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
-    scored = (
-        cands.join(F.broadcast(qvecs), "query_id")
-        .join(nvecs, "neighbor_id")
-        .withColumn("sim", _cosine_udf()(F.col("qvec"), F.col(vec_col)))
+    scored = _rerank_pairs(
+        cands.join(F.broadcast(qvecs), "query_id").join(nvecs, "neighbor_id"),
+        "qvec",
+        vec_col,
+        ["query_id", "neighbor_id"],
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        scored.select("query_id", "neighbor_id", "sim")
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
