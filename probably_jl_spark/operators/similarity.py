@@ -357,6 +357,36 @@ def cosine_near_dup_pairs(
     )
 
 
+def dedup_embeddings(
+    emb_df: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
+    n_tables: int = 12,
+) -> DataFrame:
+    """End-to-end embedding dedup — the similarity-space twin of the
+    MinHash document pipeline: multi-table LSH near-dup pairs
+    (``cosine_near_dup_pairs``) -> connected components -> one keeper
+    per cluster. Adds ``cluster_rep`` (min reachable id through the
+    >= threshold cosine pair graph, own id when unique) and
+    ``keep = (cluster_rep == id)`` to every row.
+
+    Same scale shape as the parts: keys-only bucket self-join + one
+    Arrow rerank for the pairs, then one shuffle join per label-
+    propagation round (dup clusters are near-cliques, 2-3 rounds)."""
+    from .dedup import dedup_assign
+
+    pairs = cosine_near_dup_pairs(
+        emb_df, threshold, dim, n_planes, seed, id_col, vec_col,
+        max_bucket_size, n_tables,
+    )
+    return dedup_assign(emb_df, pairs.select("id_a", "id_b"), id_col=id_col)
+
+
 # ----------------------------------------------------------------- IVF ANN
 
 

@@ -743,6 +743,26 @@ def cosine_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end embedding dedup (dedup_embeddings): the first 50
+    vectors get EXACT duplicate twins (ids +10000 — reproducible in SQL,
+    unlike the perturbed fixture), the pipeline resolves near-dup pairs
+    into clusters and picks one keeper each. Oracle = DuckDB recursive
+    CTE over the exact all-pairs cosine graph at the same threshold."""
+    from .operators.similarity import dedup_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = emb.filter("vec_id < 50").select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    out = dedup_embeddings(
+        emb.unionByName(twins), threshold=0.95, dim=64, n_tables=16
+    )
+    return out.select(
+        "vec_id", F.col("cluster_rep").cast("long").alias("cluster_rep"), "keep"
+    )
+
+
 def media_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real (dependency-free) media decoding through the mapInPandas
     pipeline: one synthetic solid-color 24-bit BMP per of the first 8
@@ -812,6 +832,7 @@ def training_queries() -> dict:
         "ann_lsh_recall": ann_lsh_recall,
         "ann_ivf_recall": ann_ivf_recall,
         "cosine_near_dup_recall": cosine_near_dup_recall,
+        "embedding_dedup_docs": embedding_dedup_docs,
         "media_decode_bmp": media_decode_bmp,
         "token_count_docs": token_count_docs,
         "quality_score_docs": quality_score_docs,
@@ -879,6 +900,19 @@ def training_oracles() -> dict:
         "cosine_near_dup_recall": (
             "SELECT CAST(50 AS BIGINT) AS n_true_pairs, "
             "TRUE AS recall_above_095, TRUE AS rerank_precise"
+        ),
+        "embedding_dedup_docs": (
+            "WITH RECURSIVE aug AS (SELECT vec_id, embedding FROM embeddings "
+            "UNION ALL SELECT vec_id + 10000, embedding FROM embeddings "
+            "WHERE vec_id < 50), "
+            "edges AS (SELECT a.vec_id AS src, b.vec_id AS dst "
+            "FROM aug a JOIN aug b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95), "
+            "bidir AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges), "
+            "reach AS (SELECT vec_id AS id, vec_id AS label FROM aug "
+            "UNION SELECT e.dst AS id, r.label FROM reach r JOIN bidir e ON e.src = r.id) "
+            "SELECT id AS vec_id, CAST(MIN(label) AS BIGINT) AS cluster_rep, "
+            "MIN(label) = id AS keep FROM reach GROUP BY id"
         ),
         "media_decode_bmp": (
             "SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(8 AS BIGINT) AS width, "

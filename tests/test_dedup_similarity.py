@@ -393,3 +393,24 @@ def test_exact_dedup_map_narrow_exchange(spark, docs):
     assert plan.count("Exchange hashpartitioning(text_hash") == 1
     assert "partial_min" in plan.split("Exchange")[-1], plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_dedup_embeddings_end_to_end(spark, emb):
+    """dedup_embeddings: pairs -> components -> one keeper per cluster;
+    twins collapse onto the base id, singletons keep themselves."""
+    from probably_jl_spark.operators.similarity import dedup_embeddings
+
+    twins = emb.filter("vec_id < 20").select(
+        (F.col("vec_id") + 5000).alias("vec_id"), "embedding"
+    )
+    out = dedup_embeddings(
+        emb.select("vec_id", "embedding").unionByName(twins),
+        threshold=0.95, dim=64, n_tables=16,
+    ).toPandas()
+    dup = out[out.vec_id >= 5000]
+    assert (dup.cluster_rep == dup.vec_id - 5000).all()
+    assert (~dup.keep).all()
+    base = out[(out.vec_id < 20)]
+    assert base.keep.all() and (base.cluster_rep == base.vec_id).all()
+    singles = out[(out.vec_id >= 20) & (out.vec_id < 5000)]
+    assert singles.keep.all()
