@@ -104,3 +104,39 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_pred", langid(text_col))
         .withColumn("fingerprint", fingerprint(text_col))
     )
+
+
+def clean_corpus(
+    df: DataFrame,
+    min_tokens: int = 5,
+    max_tokens: int = 1_000_000,
+    min_quality_milli: int = 300,
+    languages: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = None,
+) -> DataFrame:
+    """The canonical training-data hygiene pass as ONE composable
+    pipeline: token-count bounds + quality threshold (+ optional
+    language allow-list) + exact dedup keeping the min-id representative.
+
+    Plan shape at 100 TB: every filter is whole-stage-codegen JVM
+    arithmetic applied AT THE SCAN (before any exchange), so the single
+    hash-keyed dedup shuffle only ever sees surviving rows; the output
+    adds ``n_tokens`` / ``quality_milli`` so downstream sampling can
+    reuse them without recomputing."""
+    from ..operators.dedup import exact_dedup
+
+    stats = df.withColumn("n_tokens", token_count(text_col)).withColumn(
+        "quality_milli", quality_milliscore(text_col)
+    )
+    kept = stats.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("quality_milli") >= min_quality_milli)
+    )
+    if languages is not None:
+        lc = F.col(lang_col) if lang_col else langid(text_col)
+        kept = kept.filter(lc.isin(list(languages)))
+    deduped = exact_dedup(kept, id_col=id_col, text_col=text_col)
+    return deduped.filter(F.col("rep_id") == F.col(id_col)).drop("rep_id")

@@ -743,6 +743,37 @@ def cosine_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clean_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data hygiene pipeline (clean_corpus): token bounds +
+    quality threshold + language allow-list (documents carry a lang
+    column) + exact dedup, one keeper per text. Oracle reproduces every
+    filter formula and the min-id dedup in SQL."""
+    from .functions.text import clean_corpus
+
+    out = clean_corpus(
+        _aug_docs_lang(spark, sf_dir),
+        min_tokens=5,
+        max_tokens=10_000,
+        min_quality_milli=300,
+        languages=["en", "fr"],
+        lang_col="lang",
+    )
+    return out.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "quality_milli"
+    )
+
+
+def _aug_docs_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents (incl. lang) plus the 5 injected exact duplicates."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    dups = (
+        docs.orderBy("doc_id")
+        .limit(5)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text", "lang")
+    )
+    return docs.unionByName(dups)
+
+
 def embedding_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end embedding dedup (dedup_embeddings): the first 50
     vectors get EXACT duplicate twins (ids +10000 — reproducible in SQL,
@@ -832,6 +863,7 @@ def training_queries() -> dict:
         "ann_lsh_recall": ann_lsh_recall,
         "ann_ivf_recall": ann_ivf_recall,
         "cosine_near_dup_recall": cosine_near_dup_recall,
+        "clean_corpus_docs": clean_corpus_docs,
         "embedding_dedup_docs": embedding_dedup_docs,
         "media_decode_bmp": media_decode_bmp,
         "token_count_docs": token_count_docs,
@@ -900,6 +932,18 @@ def training_oracles() -> dict:
         "cosine_near_dup_recall": (
             "SELECT CAST(50 AS BIGINT) AS n_true_pairs, "
             "TRUE AS recall_above_095, TRUE AS rerank_precise"
+        ),
+        "clean_corpus_docs": (
+            "WITH aug AS (SELECT doc_id, text, lang FROM documents "
+            "UNION ALL SELECT doc_id + 100000, text, lang FROM "
+            "(SELECT * FROM documents ORDER BY doc_id LIMIT 5)), "
+            "stats AS (SELECT doc_id, text, lang, "
+            "CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens, "
+            f"{QUALITY_MILLISCORE_SQL.format(c='text')} AS quality_milli FROM aug), "
+            "kept AS (SELECT * FROM stats WHERE n_tokens BETWEEN 5 AND 10000 "
+            "AND quality_milli >= 300 AND lang IN ('en', 'fr')) "
+            "SELECT doc_id, n_tokens, quality_milli FROM kept "
+            "WHERE doc_id = (SELECT MIN(k2.doc_id) FROM kept k2 WHERE k2.text = kept.text)"
         ),
         "embedding_dedup_docs": (
             "WITH RECURSIVE aug AS (SELECT vec_id, embedding FROM embeddings "

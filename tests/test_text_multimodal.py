@@ -235,3 +235,34 @@ def test_tiny_image_features_no_nan():
         assert (out["width"], out["height"]) == (w, h)
         assert np.isfinite(out["feature"]).all()
         assert all(abs(f - 50 / 255) < 1e-6 for f in out["feature"])
+
+
+def test_clean_corpus_filters_before_shuffle(spark):
+    """clean_corpus: one hash-keyed dedup exchange, with every
+    token/quality filter applied below it (scan-side codegen) so the
+    shuffle only sees surviving rows."""
+    from pyspark.sql import functions as F
+
+    from probably_jl_spark.functions.text import clean_corpus
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text", "lang")
+    out = clean_corpus(
+        docs, min_tokens=5, max_tokens=10_000, min_quality_milli=300,
+        languages=["en"], lang_col="lang",
+    )
+    pdf = out.toPandas()
+    assert len(pdf) > 0
+    assert (pdf.quality_milli >= 300).all()
+    assert (pdf.n_tokens >= 5).all()
+    # dedup: one keeper per text
+    dup = docs.filter("doc_id = 0").select((F.col("doc_id") + 7777).alias("doc_id"), "text", "lang")
+    out2 = clean_corpus(docs.unionByName(dup), languages=None).toPandas()
+    assert 7777 not in set(out2.doc_id)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # AQE prints Final + Initial plans after execution: inspect the final
+    final = plan.split("== Initial Plan ==")[0]
+    # exactly one exchange (the dedup window); filters live below it
+    assert final.count("Exchange hashpartitioning") == 1, final
+    below = final.split("Exchange hashpartitioning")[-1]
+    assert "Filter" in below
