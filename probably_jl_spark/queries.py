@@ -743,6 +743,32 @@ def cosine_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling (operators/sample.py): the
+    kept set must be bit-identical between Spark and DuckDB because the
+    gate is md5-prefix < threshold in both — no RNG, no partition
+    dependence."""
+    from .operators.sample import hash_sample
+
+    return hash_sample(
+        _t(spark, sf_dir, "documents"), rate=0.25, key_cols=["doc_id"], seed=7
+    ).select("doc_id")
+
+
+def stratified_docs_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quota sampling: at most 20 docs per language chosen
+    by hash order — same rows in any engine."""
+    from .operators.sample import stratified_take
+
+    return stratified_take(
+        _t(spark, sf_dir, "documents"),
+        group_cols=["lang"],
+        n_per_group=20,
+        key_cols=["doc_id"],
+        seed=7,
+    ).select("lang", "doc_id")
+
+
 def clean_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data hygiene pipeline (clean_corpus): token bounds +
     quality threshold + language allow-list (documents carry a lang
@@ -863,6 +889,8 @@ def training_queries() -> dict:
         "ann_lsh_recall": ann_lsh_recall,
         "ann_ivf_recall": ann_ivf_recall,
         "cosine_near_dup_recall": cosine_near_dup_recall,
+        "hash_sample_docs": hash_sample_docs,
+        "stratified_docs_by_lang": stratified_docs_by_lang,
         "clean_corpus_docs": clean_corpus_docs,
         "embedding_dedup_docs": embedding_dedup_docs,
         "media_decode_bmp": media_decode_bmp,
@@ -874,6 +902,7 @@ def training_queries() -> dict:
 
 def training_oracles() -> dict:
     from .functions.text import QUALITY_MILLISCORE_SQL
+    from .operators.sample import sample_threshold_hex
 
     shingle = (
         "list_distinct([substring(text, i, 5) "
@@ -932,6 +961,17 @@ def training_oracles() -> dict:
         "cosine_near_dup_recall": (
             "SELECT CAST(50 AS BIGINT) AS n_true_pairs, "
             "TRUE AS recall_above_095, TRUE AS rerank_precise"
+        ),
+        "hash_sample_docs": (
+            "SELECT doc_id FROM documents WHERE "
+            "substring(md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), '7')), 1, 8) "
+            f"< '{sample_threshold_hex(0.25)}'"
+        ),
+        "stratified_docs_by_lang": (
+            "SELECT lang, doc_id FROM documents QUALIFY ROW_NUMBER() OVER ("
+            "PARTITION BY lang ORDER BY "
+            "substring(md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), '7')), 1, 8), "
+            "doc_id) <= 20"
         ),
         "clean_corpus_docs": (
             "WITH aug AS (SELECT doc_id, text, lang FROM documents "
