@@ -27,15 +27,28 @@ from pyspark.sql import functions as F
 
 def _hash_hex(key_cols: list[str], seed: int):
     """First 8 hex chars of md5(concat(keys, seed)) — the sort/gate key.
-    concat_ws('\\x1f', ...) keeps multi-column keys unambiguous."""
-    parts = [F.col(c).cast("string") for c in key_cols] + [F.lit(str(seed))]
+    NULL key components coalesce to a chr(1) sentinel BEFORE concat_ws
+    (which would otherwise silently skip them, collapsing every NULL-key
+    row onto one hash — code-review r3); with the chr(31) separator the
+    sentinel keeps multi-column keys unambiguous. SQL mirror:
+    md5(concat_ws(chr(31), coalesce(CAST(k AS VARCHAR), chr(1)), ...,
+    '<seed>'))."""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x01")) for c in key_cols
+    ] + [F.lit(str(seed))]
     return F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 8)
 
 
 def sample_threshold_hex(rate: float) -> str:
-    """8-hex-char prefix P such that md5-prefix < P keeps ~rate of rows."""
+    """8-char prefix P such that md5-prefix < P keeps ~rate of rows.
+    rate=1.0 returns 'g'*8: 'g' sorts after every hex digit, so the gate
+    keeps everything (format(2**32) would be a 9-char string, breaking
+    the equal-length lexicographic==numeric invariant — code-review
+    r3)."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError("rate must be in [0, 1]")
+    if rate >= 1.0:
+        return "g" * 8
     return format(int(rate * (1 << 32)), "08x")
 
 

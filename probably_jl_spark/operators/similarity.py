@@ -28,24 +28,6 @@ def _collect_queries(query_df: DataFrame, id_col: str, vec_col: str, dtype=np.fl
     return qids, qmat
 
 
-def _cosine_udf():
-    """Normalized-cosine pandas UDF (created lazily: pandas_udf needs an
-    active session). Kept for column-level composition; the bulk rerank
-    paths use ``_rerank_pairs`` (mapInArrow) instead — the pandas UDF's
-    ``np.array(series.tolist())`` conversion was 97% of the near-dup
-    runtime at 14M candidate pairs (r3 profile)."""
-
-    @F.pandas_udf("double")
-    def cos(qv: pd.Series, xv: pd.Series) -> pd.Series:
-        a = np.array(qv.tolist(), dtype=np.float32)
-        b = np.array(xv.tolist(), dtype=np.float32)
-        an = a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
-        bn = b / np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
-        return pd.Series((an * bn).sum(axis=1).astype(np.float64))
-
-    return cos
-
-
 def _rerank_pairs(
     df: DataFrame,
     a_col: str,

@@ -964,13 +964,13 @@ def training_oracles() -> dict:
         ),
         "hash_sample_docs": (
             "SELECT doc_id FROM documents WHERE "
-            "substring(md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), '7')), 1, 8) "
+            "substring(md5(concat_ws(chr(31), coalesce(CAST(doc_id AS VARCHAR), chr(1)), '7')), 1, 8) "
             f"< '{sample_threshold_hex(0.25)}'"
         ),
         "stratified_docs_by_lang": (
             "SELECT lang, doc_id FROM documents QUALIFY ROW_NUMBER() OVER ("
             "PARTITION BY lang ORDER BY "
-            "substring(md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), '7')), 1, 8), "
+            "substring(md5(concat_ws(chr(31), coalesce(CAST(doc_id AS VARCHAR), chr(1)), '7')), 1, 8), "
             "doc_id) <= 20"
         ),
         "clean_corpus_docs": (

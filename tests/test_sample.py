@@ -51,10 +51,29 @@ def test_hash_sample_filter_reaches_scan(spark):
 
 def test_threshold_hex():
     assert sample_threshold_hex(0.25) == "40000000"
-    assert sample_threshold_hex(1.0) == format(1 << 32, "08x")
+    # rate=1.0: 'g' sorts after every hex digit at EQUAL length — a
+    # 9-char format(2**32) would compare lexicographically broken
+    # (code-review r3: "ffffffff" < "100000000" is False)
+    assert sample_threshold_hex(1.0) == "gggggggg"
+    assert "ffffffff" < sample_threshold_hex(1.0)
     assert sample_threshold_hex(0.0) == "00000000"
     with pytest.raises(ValueError):
         sample_threshold_hex(1.5)
+
+
+def test_hash_sample_rate_one_keeps_all_and_nulls_distinct(spark, docs):
+    n = docs.count()
+    assert hash_sample(docs, 1.0, ["doc_id"], seed=1).count() == n
+    # NULL keys must hash per-row-distinctly when another key column
+    # differs (concat_ws would otherwise skip NULLs and collapse them)
+    rows = spark.createDataFrame(
+        [(None, "x"), ("x", None), (None, None), ("a", "b")],
+        "k1 string, k2 string",
+    )
+    from probably_jl_spark.operators.sample import _hash_hex
+
+    hashes = rows.select(_hash_hex(["k1", "k2"], 0).alias("h")).toPandas().h
+    assert hashes.nunique() == 4
 
 
 def test_stratified_take_caps_each_group(spark, docs):
