@@ -429,6 +429,17 @@ def run_bench() -> dict:
     extras["simhash_docs_per_sec"] = round(n_docs / sim_sec)
     extras["simhash_n_docs"] = n_docs
 
+    # corpus hygiene pass over the same docs: token/quality codegen
+    # filters at the scan + one hash-keyed dedup exchange
+    from probably_jl_spark.functions.text import clean_corpus
+
+    t0 = time.perf_counter()
+    n_clean = clean_corpus(docs, min_tokens=3, min_quality_milli=200).count()
+    clean_sec = time.perf_counter() - t0
+    queries["clean_corpus_docs"] = round(clean_sec, 3)
+    extras["clean_corpus_kept"] = n_clean
+    extras["clean_corpus_docs_per_sec"] = round(n_docs / clean_sec)
+
     probes = spark.range(0, 1_000_000).select(
         F.format_string("conv-%08d", F.col("id")).alias("conv_id")
     )
