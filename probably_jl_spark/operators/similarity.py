@@ -41,10 +41,15 @@ def _rerank_pairs(
     ``tolist()`` per-row materialization — measured 15x+ on 14M pairs.
     Emits ``keep_cols + [sim]``; vectors are consumed here and never
     travel further up the plan. No input buffer is mutated (cosine is
-    computed as dot/(|a||b|) on views)."""
+    computed as dot/(|a||b|) on views). Keep-column types are taken from
+    ``df.schema``, so string / int32 id columns pass through unchanged
+    (ADVICE r3: a hardcoded ``long`` broke non-int64 id contracts)."""
     import pyarrow as pa
 
-    schema = ", ".join([f"{c} long" for c in keep_cols] + [f"{sim_col} double"])
+    schema = ", ".join(
+        [f"{c} {df.schema[c].dataType.simpleString()}" for c in keep_cols]
+        + [f"{sim_col} double"]
+    )
 
     def fn(batches):
         for batch in batches:

@@ -489,6 +489,15 @@ def constrain_cuckoo(
         len_slots = pow2_at_least(memory / (_plan_bytes(4 * 1, f, budget) / 4))
         while len_slots > 4 and _plan_bytes(len_slots, f, budget) > memory:
             len_slots //= 2
+        if _plan_bytes(len_slots, f, budget) > memory:
+            # even the minimum 4-slot filter exceeds the budget — raise like
+            # the memory+capacity branch instead of silently over-spending
+            # (ADVICE r3: inconsistent planner contract)
+            raise ValueError(
+                f"Too little memory: fpr={fpr} needs F={f}, costing >= "
+                f"{_plan_bytes(len_slots, f, budget)} bytes ({budget} layout) "
+                f"even at the minimum length"
+            )
         capacity = int(0.95 * len_slots)
     else:  # memory + capacity: maximize F under the byte budget
         len_slots = pow2_at_least(capacity / 0.95)

@@ -127,11 +127,25 @@ class SketchStateStore:
             stream.write(blob)
         finally:
             stream.close()
-        fs.rename(tmp, final)  # rename to a NEW name: atomic on HDFS/local
+        # rename to a NEW name: atomic on HDFS/local. The Hadoop FS API
+        # signals most rename failures by returning false, not raising —
+        # an ignored false here would let the cleanup below delete the
+        # only valid snapshot while the batch is treated as committed
+        # (ADVICE r3). Verify both the boolean and the final path.
+        if not fs.rename(tmp, final) or not fs.exists(final):
+            raise IOError(
+                f"SketchStateStore: rename {tmp} -> {final} failed; "
+                "previous snapshot left intact, batch NOT committed"
+            )
         # opportunistic cleanup of superseded snapshots (keep the latest)
+        # and of stale temp files from crashed earlier saves
         for bid, path in self._snapshots(jvm, fs, dirp):
             if bid < batch_id:
                 fs.delete(path, False)
+        for st in fs.listStatus(dirp):
+            name = st.getPath().getName()
+            if name.endswith(".pkl.tmp") and name != f"state.b{batch_id}.pkl.tmp":
+                fs.delete(st.getPath(), False)
 
     def sketches(self, specs: list[SketchSpec], group: tuple = ()) -> dict:
         states, _ = self.load()
@@ -197,10 +211,11 @@ def windowed_sketch_stream(
         win = batch_df.withColumn(
             "__win", F.date_trunc("hour", F.col(ts_col)) if window == "1 hour" else F.window(ts_col, window)["start"]
         )
-        # salt_buckets pinned to 1: micro-batches are narrow, and the
-        # auto default would convert the batch plan to an RDD for its
-        # partition count — RDD materialization on the py4j foreachBatch
-        # callback thread deadlocks
+        # salt_buckets pinned to 1: micro-batches are narrow, so salting
+        # buys nothing and the auto default's partition-count probe is a
+        # pointless extra plan conversion per batch. (The probe itself is
+        # safe on foreachBatch callback threads — see grouped.py; an
+        # earlier hang here was the py4j per-byte read, not .rdd.)
         rows = grouped_sketch(win, ["__win"], specs, salt_buckets=1).collect()
         for r in rows:
             key = (str(r["__win"]),)

@@ -318,3 +318,13 @@ def test_constrain_fpr_memory_fits_budget():
         plan = constrain_cuckoo(fpr=0.001, memory=100_000, budget=budget)
         assert plan.memory_bytes <= 100_000, (budget, plan)
         assert plan.fpr <= 0.001 * 1.05
+
+
+def test_constrain_fpr_memory_too_little_raises():
+    """ADVICE r3: fpr+memory with a budget smaller than the minimum
+    4-slot filter must raise (mirroring the memory+capacity branch), not
+    silently return a plan over budget."""
+    with pytest.raises(ValueError, match="Too little memory"):
+        constrain_cuckoo(fpr=0.001, memory=1, budget="resident")
+    with pytest.raises(ValueError, match="Too little memory"):
+        constrain_cuckoo(fpr=1e-6, memory=2, budget="wire")
