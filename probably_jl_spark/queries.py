@@ -820,6 +820,30 @@ def embedding_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_dedup_dense_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-cluster dedup (VERDICT r03 missing #1): 60 EXACT clones of
+    vector 0 (ids 20000..20059) form a cluster larger than
+    max_bucket_size=16, so its buckets are over cap in EVERY LSH table —
+    under r3 semantics every member silently survived. The quantized
+    representative star pass must collapse it to one keeper (vec 0) with
+    one linear star of pairs. Oracle = DuckDB recursive CTE over the
+    exact all-pairs cosine graph, same threshold."""
+    from .operators.similarity import dedup_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = (
+        spark.range(20_000, 20_060)
+        .crossJoin(emb.filter("vec_id = 0").select("embedding"))
+        .select(F.col("id").alias("vec_id"), "embedding")
+    )
+    out = dedup_embeddings(
+        emb.unionByName(clones), threshold=0.95, dim=64, max_bucket_size=16
+    )
+    return out.select(
+        "vec_id", F.col("cluster_rep").cast("long").alias("cluster_rep"), "keep"
+    )
+
+
 def media_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real (dependency-free) media decoding through the mapInPandas
     pipeline: one synthetic solid-color 24-bit BMP per of the first 8
@@ -893,6 +917,7 @@ def training_queries() -> dict:
         "stratified_docs_by_lang": stratified_docs_by_lang,
         "clean_corpus_docs": clean_corpus_docs,
         "embedding_dedup_docs": embedding_dedup_docs,
+        "embedding_dedup_dense_docs": embedding_dedup_dense_docs,
         "media_decode_bmp": media_decode_bmp,
         "token_count_docs": token_count_docs,
         "quality_score_docs": quality_score_docs,
@@ -989,6 +1014,19 @@ def training_oracles() -> dict:
             "WITH RECURSIVE aug AS (SELECT vec_id, embedding FROM embeddings "
             "UNION ALL SELECT vec_id + 10000, embedding FROM embeddings "
             "WHERE vec_id < 50), "
+            "edges AS (SELECT a.vec_id AS src, b.vec_id AS dst "
+            "FROM aug a JOIN aug b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95), "
+            "bidir AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges), "
+            "reach AS (SELECT vec_id AS id, vec_id AS label FROM aug "
+            "UNION SELECT e.dst AS id, r.label FROM reach r JOIN bidir e ON e.src = r.id) "
+            "SELECT id AS vec_id, CAST(MIN(label) AS BIGINT) AS cluster_rep, "
+            "MIN(label) = id AS keep FROM reach GROUP BY id"
+        ),
+        "embedding_dedup_dense_docs": (
+            "WITH RECURSIVE aug AS (SELECT vec_id, embedding FROM embeddings "
+            "UNION ALL SELECT 20000 + r.range, e.embedding FROM range(60) r "
+            "CROSS JOIN embeddings e WHERE e.vec_id = 0), "
             "edges AS (SELECT a.vec_id AS src, b.vec_id AS dst "
             "FROM aug a JOIN aug b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95), "
