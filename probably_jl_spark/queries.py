@@ -394,18 +394,29 @@ def sql_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pjs_quantile(state_v, 0.5) AS p50 FROM pjs_states"
         ).collect()
     }
+    # ONE conditional aggregation for every group's exact distinct, total
+    # and below-p50 count (VERDICT r3 item 7: the old loop ran 2 Spark
+    # jobs per group — job count now independent of group count)
+    p50_map = F.create_map(
+        *[x for t in est for x in (F.lit(t), F.lit(float(est[t][1])))]
+    )
     exact = {
-        r["event_type"]: r["n"]
-        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+        r["event_type"]: (r["n"], r["total"], r["below"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n"),
+            F.count(F.lit(1)).alias("total"),
+            F.count(
+                F.when(F.col("value") <= p50_map[F.col("event_type")], True)
+            ).alias("below"),
+        )
+        .collect()
     }
     rows = []
     for t in sorted(est):
-        e, p50 = est[t]
-        n = exact[t]
+        e, _p50 = est[t]
+        n, total, below = exact[t]
         hll_ok = abs(e - n) / max(n, 1) <= HLL_BOUND
-        grp = ev.filter(F.col("event_type") == t)
-        total = grp.count()
-        below = grp.filter(F.col("value") <= float(p50)).count()
         kll_ok = abs(below / max(total, 1) - 0.5) <= 2.0 / 200 + 1.0 / max(total, 1)
         rows.append((t, int(n), bool(hll_ok), bool(kll_ok)))
     return spark.createDataFrame(
@@ -663,7 +674,9 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table LSH ANN vs exact: mean top-5 recall over 10 queries
     must clear 0.7 (near-uniform synthetic embeddings are LSH's worst
-    case; 16x4 config targets ~0.9)."""
+    case). Runs the DEFAULT config — 8 tables x 3 query-side probes
+    since r4 (VERDICT r3 item 6), which measures >= the old 16x4x0-probe
+    config at half the corpus key rows."""
     import numpy as np
 
     from .operators.similarity import ann_topk_lsh, cosine_topk
@@ -671,7 +684,7 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter("vec_id < 10")
     exact = cosine_topk(emb, q, k=5).toPandas()
-    approx = ann_topk_lsh(emb, q, dim=64, k=5, n_tables=16, n_planes=4).toPandas()
+    approx = ann_topk_lsh(emb, q, dim=64, k=5).toPandas()
     recalls = []
     for i in range(10):
         e = set(exact[exact.query_id == i].neighbor_id)
@@ -789,6 +802,28 @@ def clean_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clean_corpus_map_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean_corpus(dedup='map') (VERDICT r3 item 5): identical output
+    contract through the narrow-exchange dedup path — the dedup shuffle
+    carries (id, 16-byte md5) projections plus an id semi-join instead
+    of full rows. Same oracle SQL as clean_corpus_docs: the two modes
+    are value-identical by construction."""
+    from .functions.text import clean_corpus
+
+    out = clean_corpus(
+        _aug_docs_lang(spark, sf_dir),
+        min_tokens=5,
+        max_tokens=10_000,
+        min_quality_milli=300,
+        languages=["en", "fr"],
+        lang_col="lang",
+        dedup="map",
+    )
+    return out.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "quality_milli"
+    )
+
+
 def _aug_docs_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents (incl. lang) plus the 5 injected exact duplicates."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
@@ -893,12 +928,20 @@ def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import fingerprint
 
     docs = _t(spark, sf_dir, "documents")
-    fp = docs.select(fingerprint("text").alias("f"), F.lower(F.trim("text")).alias("t"))
-    n_fp = fp.select("f").distinct().count()
-    n_text = fp.select("t").distinct().count()
-    n_docs = docs.count()
+    # ONE aggregation job for all three counts (VERDICT r3 item 7: was 3
+    # separate count jobs)
+    row = docs.select(
+        fingerprint("text").alias("f"), F.lower(F.trim("text")).alias("t")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("t").alias("n_text"),
+        F.countDistinct("f").alias("n_fp"),
+    ).collect()[0]
     return _bool_row(
-        spark, n_docs=n_docs, distinct_texts=n_text, fingerprint_matches_texts=n_fp == n_text
+        spark,
+        n_docs=row["n_docs"],
+        distinct_texts=row["n_text"],
+        fingerprint_matches_texts=row["n_fp"] == row["n_text"],
     )
 
 
@@ -916,6 +959,7 @@ def training_queries() -> dict:
         "hash_sample_docs": hash_sample_docs,
         "stratified_docs_by_lang": stratified_docs_by_lang,
         "clean_corpus_docs": clean_corpus_docs,
+        "clean_corpus_map_docs": clean_corpus_map_docs,
         "embedding_dedup_docs": embedding_dedup_docs,
         "embedding_dedup_dense_docs": embedding_dedup_dense_docs,
         "media_decode_bmp": media_decode_bmp,
@@ -933,7 +977,7 @@ def training_oracles() -> dict:
         "list_distinct([substring(text, i, 5) "
         "for i in generate_series(1, greatest(length(text)-4, 1))])"
     )
-    return {
+    oracles = {
         "exact_dedup_docs": (
             f"WITH aug AS ({_AUG_DOCS_SQL}) "
             "SELECT d.doc_id, m.rep_id FROM aug d JOIN "
@@ -1056,3 +1100,7 @@ def training_oracles() -> dict:
             "TRUE AS fingerprint_matches_texts FROM documents"
         ),
     }
+    # clean_corpus(dedup='map') is value-identical to the rows mode by
+    # contract — same oracle SQL gates both
+    oracles["clean_corpus_map_docs"] = oracles["clean_corpus_docs"]
+    return oracles

@@ -326,7 +326,9 @@ def test_multiprobe_halves_tables(spark, emb):
             rs.append(len(e & a) / max(len(e), 1))
         return sum(rs) / len(rs)
 
-    base = recall(ann_topk_lsh(emb, q, dim=64, k=5, n_tables=16, n_planes=4).toPandas())
+    base = recall(
+        ann_topk_lsh(emb, q, dim=64, k=5, n_tables=16, n_planes=4, n_probes=0).toPandas()
+    )
     probed = recall(
         ann_topk_lsh(emb, q, dim=64, k=5, n_tables=8, n_planes=4, n_probes=3).toPandas()
     )
@@ -528,3 +530,26 @@ def test_dense_cluster_collapses_via_representative_pass(spark, emb):
     # untouched singletons keep themselves
     singles = out[(out.vec_id > 0) & (out.vec_id < 50)]
     assert singles.keep.all()
+
+
+def test_ann_lsh_default_is_multiprobe(spark, emb):
+    """VERDICT r3 item 6: the proven-cheaper 8-table x 3-probe config is
+    the default (query-side probing, half the corpus key rows), and it
+    still clears the recall gate on the worst-case near-uniform fixture."""
+    import inspect
+
+    from probably_jl_spark.operators.similarity import ann_topk_lsh, cosine_topk
+
+    sig = inspect.signature(ann_topk_lsh)
+    assert sig.parameters["n_tables"].default == 8
+    assert sig.parameters["n_probes"].default == 3
+
+    q = emb.filter("vec_id < 10")
+    exact = cosine_topk(emb, q, k=5).toPandas()
+    approx = ann_topk_lsh(emb, q, dim=64, k=5).toPandas()
+    rs = []
+    for i in range(10):
+        e = set(exact[exact.query_id == i].neighbor_id)
+        a = set(approx[approx.query_id == i].neighbor_id)
+        rs.append(len(e & a) / max(len(e), 1))
+    assert sum(rs) / len(rs) >= 0.7

@@ -266,3 +266,43 @@ def test_clean_corpus_filters_before_shuffle(spark):
     assert final.count("Exchange hashpartitioning") == 1, final
     below = final.split("Exchange hashpartitioning")[-1]
     assert "Filter" in below
+
+
+def test_clean_corpus_map_mode_identical_and_narrow(spark):
+    """clean_corpus(dedup='map') (VERDICT r3 item 5): value-identical to
+    the rows mode, with the dedup exchange carrying only the
+    (id, 16-byte md5) projection — wide documents never shuffle for the
+    dedup decision."""
+    from pyspark.sql import functions as F
+
+    from probably_jl_spark.functions.text import clean_corpus
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text", "lang")
+    dup = docs.filter("doc_id = 0").select(
+        (F.col("doc_id") + 7777).alias("doc_id"), "text", "lang"
+    )
+    both = docs.unionByName(dup)
+    rows_mode = clean_corpus(both, languages=None).toPandas().sort_values("doc_id")
+    map_mode = (
+        clean_corpus(both, languages=None, dedup="map").toPandas().sort_values("doc_id")
+    )
+    assert rows_mode.doc_id.tolist() == map_mode.doc_id.tolist()
+    cols = sorted(rows_mode.columns)
+    assert rows_mode[cols].reset_index(drop=True).equals(
+        map_mode[cols].reset_index(drop=True)
+    )
+
+    # plan shape on a fresh scan: the text_hash exchange carries the
+    # narrow projection with map-side partial_min below it; the only
+    # other exchanges implement the semi-join on the 8-byte id
+    fresh = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text", "lang")
+    out = clean_corpus(fresh, languages=None, dedup="map")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning(text_hash") == 1, final
+    assert "partial_min" in final, final
+    import pytest
+
+    with pytest.raises(ValueError, match="rows.*map|map.*rows|dedup"):
+        clean_corpus(fresh, dedup="bogus")
