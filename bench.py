@@ -488,6 +488,17 @@ def run_bench() -> dict:
     queries["cosine_near_dup_500k"] = round(time.perf_counter() - t0, 3)
     extras["cosine_near_dup_pairs_found"] = n_dup_pairs
     extras["cosine_near_dup_n_vecs"] = n_vecs + n_vecs // 100
+    # what r4 auto-sizing would derive for this corpus (the timed run pins
+    # the r3 geometry for round-over-round comparability)
+    from probably_jl_spark.operators.similarity import plan_near_dup_lsh
+
+    auto = plan_near_dup_lsh(n_vecs + n_vecs // 100, 0.95)
+    extras["cosine_near_dup_auto_plan"] = {
+        "n_planes": auto.n_planes,
+        "n_tables": auto.n_tables,
+        "expected_recall_at_threshold": round(auto.expected_recall, 4),
+        "est_candidate_pairs": round(auto.est_candidate_pairs),
+    }
 
     ivf_q = emb.filter("vec_id < 32")
     t0 = time.perf_counter()
@@ -531,30 +542,55 @@ def run_bench() -> dict:
     }
 
     # ---------- single-core kernel throughput (reference publishes no
-    # absolute numbers, BASELINE.md; these are ours for the record)
+    # absolute numbers, BASELINE.md; these are ours for the record).
+    # Quiet-window gate (VERDICT r3 #2): the box bursts to loadavg ~30
+    # with zero local processes; kernel numbers from such a window are
+    # co-tenant noise, not code. Wait (bounded) for calm, and always
+    # record the loadavg the numbers were taken under.
+    spark.stop()
+    kernel_load = None
+    for _ in range(8):
+        kernel_load = round(os.getloadavg()[0], 1)
+        if kernel_load <= 4.0:
+            break
+        log(f"kernel bench: loadavg {kernel_load} > 4, waiting for a quiet window")
+        time.sleep(20)
     import numpy as np
 
     from probably_jl_spark.sketches import BloomFilter, CountMinSketch, HyperLogLog
+    from probably_jl_spark.sketches.cuckoo import CuckooFilter
     from probably_jl_spark.sketches.kll import KLL
+    from probably_jl_spark.sketches.smallcuckoo import ResidentSmallCuckoo
     from probably_jl_spark.sketches.tdigest import TDigest
 
     rs = np.random.default_rng(1)
     hh = rs.integers(0, 2**64, size=1_000_000, dtype=np.uint64)
     vv = rs.random(1_000_000)
     kern = {}
-    for name, sk, fn in [
-        ("hll_p14", HyperLogLog(), lambda s: s.update_hashes(hh)),
-        ("cms_2048x5", CountMinSketch(2048, 5), lambda s: s.update_hashes(hh)),
-        ("bloom_4Mbit_k5", BloomFilter(1 << 22, 5), lambda s: s.update_hashes(hh)),
-        ("tdigest_200", TDigest(200), lambda s: s.update_values(vv)),
-        ("kll_200", KLL(200), lambda s: s.update_values(vv)),
+    # cuckoo sized for lf ~0.25 at 1M inserts: insert cost is load-factor
+    # dependent, so both layouts measure at the same geometry (VERDICT r3
+    # #3: resident build throughput was claimed, never measured)
+    for name, mk, fn, fresh in [
+        # fresh=False: measure the 2nd update on the same sketch (warm,
+        # r2/r3-comparable). fresh=True (cuckoo): insert cost rises with
+        # fill, so warm up on a throwaway and measure a fresh instance.
+        ("hll_p14", lambda: HyperLogLog(), lambda s: s.update_hashes(hh), False),
+        ("cms_2048x5", lambda: CountMinSketch(2048, 5), lambda s: s.update_hashes(hh), False),
+        ("bloom_4Mbit_k5", lambda: BloomFilter(1 << 22, 5), lambda s: s.update_hashes(hh), False),
+        ("cuckoo_fast_f12", lambda: CuckooFilter(1 << 22, f=12), lambda s: s.update_hashes(hh), True),
+        ("cuckoo_resident_f12", lambda: ResidentSmallCuckoo(1 << 22, f=12), lambda s: s.update_hashes(hh), True),
+        ("tdigest_200", lambda: TDigest(200), lambda s: s.update_values(vv), False),
+        ("kll_200", lambda: KLL(200), lambda s: s.update_values(vv), False),
     ]:
-        fn(sk)
+        sk = mk()
+        fn(sk)  # warm-up
+        if fresh:
+            sk = mk()
         t0 = time.perf_counter()
         fn(sk)
         kern[name] = round(1.0 / (time.perf_counter() - t0), 2)
     extras["kernel_mrows_per_sec_single_core"] = kern
-    spark.stop()
+    extras["kernel_loadavg"] = kernel_load
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     total = round(sum(queries.values()), 3)
@@ -568,7 +604,48 @@ def run_bench() -> dict:
     }
 
 
-def write_bench_md(result: dict) -> None:
+HISTORY = os.path.join(REPO, "BENCH_HISTORY.jsonl")
+
+
+def append_history(result: dict) -> list[dict]:
+    """Persist a one-line summary of every full-profile run and return
+    the whole history (VERDICT r3 #2: the repeat-run spread table was
+    deleted by a working-tree refresh — now the harness itself keeps the
+    spread, so a single noisy run can never replace the record)."""
+    entry = {
+        "efficiency": result["scaling"].get("efficiency"),
+        "mode": result["scaling"].get("mode", ""),
+        "turns_per_sec_large": result["scaling"].get("turns_per_sec_large"),
+        "queries": result["queries"],
+        "leg_loadavgs": result["scaling"].get("external_loadavg_during_legs", []),
+        "kernel_loadavg": result.get("kernel_loadavg"),
+        "kernels": result.get("kernel_mrows_per_sec_single_core", {}),
+    }
+    with open(HISTORY, "a") as f:
+        f.write(json.dumps(entry) + "\n")
+    out = []
+    with open(HISTORY) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                out.append(json.loads(line))
+    return out
+
+
+def slim(result: dict) -> dict:
+    """Compact copy for the one-line stdout contract: prose notes live in
+    BENCH.md, not the JSON line (VERDICT r3 #2: a very long line got
+    truncated mid-object by the driver's capture -> parsed: null)."""
+    import copy
+
+    r = copy.deepcopy(result)
+    r.get("scaling", {}).pop("note", None)
+    lt = r.get("scaling_local_threads", {})
+    lt.get("amdahl_fit", {}).pop("note", None)
+    return r
+
+
+def write_bench_md(result: dict, history: list[dict]) -> None:
     s = result["scaling"]
     lt = result.get("scaling_local_threads")
     lines = [
@@ -608,6 +685,36 @@ def write_bench_md(result: dict) -> None:
         f"{s.get('external_loadavg_during_legs', [])}.",
         "",
     ]
+    if history:
+        lines += [
+            "### Repeat-run spread (every full-profile run this round, BENCH_HISTORY.jsonl)",
+            "",
+            "| run | efficiency | turns/sec (wide leg) | leg loadavgs | kernel loadavg |",
+            "|---|---|---|---|---|",
+        ]
+        for i, hrun in enumerate(history, 1):
+            tps = hrun.get("turns_per_sec_large")
+            lines.append(
+                f"| {i} | {hrun.get('efficiency')} | "
+                f"{tps:,} | {hrun.get('leg_loadavgs', [])} | "
+                f"{hrun.get('kernel_loadavg')} |"
+                if tps
+                else f"| {i} | {hrun.get('efficiency')} | n/a | "
+                f"{hrun.get('leg_loadavgs', [])} | {hrun.get('kernel_loadavg')} |"
+            )
+        effs = sorted(h["efficiency"] for h in history if h.get("efficiency") is not None)
+        if effs:
+            med = effs[len(effs) // 2] if len(effs) % 2 else round(
+                (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
+            )
+            lines += [
+                "",
+                f"Efficiency spread: min {effs[0]}, median {med}, max {effs[-1]} "
+                f"over {len(effs)} run(s). The headline above is the CURRENT run; "
+                "sub-target outliers track co-tenant loadavg bursts (this box "
+                "bursts to ~30 with zero local processes).",
+                "",
+            ]
     if lt:
         lines += [
             "### Secondary series: local-mode threads (r01 continuity)",
@@ -651,10 +758,23 @@ def write_bench_md(result: dict) -> None:
         "## Single-core kernel throughput (M items/sec; the reference",
         "publishes no absolute numbers — BASELINE.md)",
         "",
+        f"Measured at 1-min loadavg {result.get('kernel_loadavg')} (quiet-window gate: "
+        "waits up to ~3 min for loadavg <= 4 before sampling).",
+        "",
         "| kernel | M/s |",
         "|---|---|",
     ]
     lines += [f"| {k} | {v} |" for k, v in result["kernel_mrows_per_sec_single_core"].items()]
+    k = result["kernel_mrows_per_sec_single_core"]
+    if "cuckoo_fast_f12" in k and "cuckoo_resident_f12" in k and k["cuckoo_resident_f12"]:
+        lines += [
+            "",
+            f"Cuckoo Fast vs Resident-semisorted insert ratio: "
+            f"{round(k['cuckoo_fast_f12'] / k['cuckoo_resident_f12'], 2)}x "
+            "(reference's own Small-vs-Fast envelope is ~2.5x, docs/src/cuckoo.md:35; "
+            "the resident batch path transcodes the code bitstream once per "
+            "Arrow batch and runs the vectorized word-layout insert in between).",
+        ]
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
@@ -677,5 +797,8 @@ if __name__ == "__main__":
     else:
         result = run_bench()
         if not QUICK:  # smoke runs must not clobber the definitive report
-            write_bench_md(result)
-        print(json.dumps(result))
+            history = append_history(result)
+            write_bench_md(result, history)
+        # one compact line, stdout's LAST line (prose notes live in
+        # BENCH.md; see slim() — r3's long line was truncated mid-object)
+        print(json.dumps(slim(result)))

@@ -83,10 +83,19 @@ def _materialize(state):
 # ----------------------------------------------------------- batch queries
 
 
-def batch_contains(keys_df: DataFrame, key_cols: list[str], state, out_col: str = "member") -> DataFrame:
+def batch_contains(
+    keys_df: DataFrame,
+    key_cols: list[str],
+    state,
+    out_col: str = "member",
+    hashed: bool = False,
+) -> DataFrame:
     """Membership for every row of keys_df against a broadcast Bloom or
     cuckoo state: JVM xxhash64 on the keys, vectorized probe in a pandas
-    UDF — no per-row Python, no shuffle."""
+    UDF — no per-row Python, no shuffle. ``hashed=True`` declares that
+    ``key_cols`` is a single column ALREADY holding xxhash64 item hashes
+    (e.g. a precomputed content-hash column shared with the filter's
+    update path), skipping the re-hash."""
     blob = state if isinstance(state, (bytes, bytearray)) else state.to_bytes()
     bc = keys_df.sparkSession.sparkContext.broadcast(bytes(blob))
 
@@ -96,6 +105,10 @@ def batch_contains(keys_df: DataFrame, key_cols: list[str], state, out_col: str 
         hs = h.to_numpy(dtype=np.int64).view(np.uint64)
         return pd.Series(sk.contains_hashes(hs))
 
+    if hashed:
+        if len(key_cols) != 1:
+            raise ValueError("hashed=True takes exactly one hash column")
+        return keys_df.withColumn(out_col, probe(F.col(key_cols[0])))
     return keys_df.withColumn(out_col, probe(F.xxhash64(*key_cols)))
 
 

@@ -215,9 +215,11 @@ class CuckooFilter:
 
     def update_hashes(self, h: np.ndarray) -> bool:
         """Batch insert of uint64 item hashes. Fingerprint/index derivation
-        and (fp, i1) dedup are vectorized; only unique unseen pairs hit the
-        sequential insert path. Returns False if any insert failed (filter
-        closed)."""
+        and (fp, i1) dedup are vectorized; for the single-word layout
+        (f <= 16) the whole NO-KICK insert path is vectorized too
+        (_insert_batch_words) and only items whose both buckets are full
+        fall back to the sequential kick loop. Returns False if any insert
+        failed (filter closed)."""
         if h.size == 0:
             return True
         h = h.astype(np.uint64, copy=False)
@@ -229,11 +231,84 @@ class CuckooFilter:
             _, first = np.unique(pair, return_index=True)
         else:  # f=32 with huge filters: pair key would overflow uint64
             _, first = np.unique(np.column_stack([fp, i1.view(np.uint64)]), axis=0, return_index=True)
+        first.sort()
+        if self.wpb == 1:
+            return self._insert_batch_words(fp[first], i1[first])
         ok = True
         fpl = fp.tolist()
         i1l = i1.tolist()
-        for j in sorted(first.tolist()):
+        for j in first.tolist():
             ok &= self.push_fp(fpl[j], i1l[j])
+        return ok
+
+    def _insert_batch_words(self, fp: np.ndarray, i1: np.ndarray) -> bool:
+        """Vectorized batch insert for the single-word bucket layout
+        (f <= 16): per round, gather both candidate bucket words for every
+        pending item, drop already-present fingerprints, pick the target
+        bucket (primary if it has a free slot, else secondary), resolve
+        same-bucket collisions by array order (np.unique keeps the FIRST
+        pending item per bucket — so per-bucket insertion order equals the
+        sequential order, and at no-kick loads the result is identical to
+        item-at-a-time insertion regardless of batch boundaries), and
+        scatter the updated words. Items whose buckets are both full defer
+        to the sequential kick loop after the vector rounds; under kicks
+        eviction *timing* differs from pure item-at-a-time insertion, but
+        both layouts remain valid filters with identical member sets on
+        the no-kick prefix (kick order was never canonical: the reference
+        itself uses rand(1:4), filter.jl:357)."""
+        f = _U(self.f)
+        fm = _U(self.fpmask)
+        B = self.buckets[:, 0]
+        i2 = self.other_index(i1, fp)
+        ok = True
+        if self.ejected:
+            # closed filter: present items are fine, new ones are rejected
+            w1, w2 = B[i1], B[i2]
+            present = fp == _U(self.ejected)
+            for s in range(4):
+                sh = _U(s) * f
+                present |= ((w1 >> sh) & fm) == fp
+                present |= ((w2 >> sh) & fm) == fp
+            return bool(present.all())
+        kicks: list[tuple[int, int]] = []
+        # each round places >= 1 item into every distinct non-full target
+        # bucket; pending items shrink geometrically (<= 9 slots across
+        # the two buckets), so the loop is bounded
+        while fp.size:
+            w1, w2 = B[i1], B[i2]
+            present = np.zeros(fp.size, dtype=bool)
+            empty1 = np.zeros((4, fp.size), dtype=bool)
+            empty2 = np.zeros((4, fp.size), dtype=bool)
+            for s in range(4):
+                sh = _U(s) * f
+                v1 = (w1 >> sh) & fm
+                v2 = (w2 >> sh) & fm
+                present |= (v1 == fp) | (v2 == fp)
+                empty1[s] = v1 == 0
+                empty2[s] = v2 == 0
+            has1 = empty1.any(axis=0)
+            has2 = empty2.any(axis=0)
+            use1 = ~present & has1
+            use2 = ~present & ~has1 & has2
+            full = ~present & ~has1 & ~has2
+            if full.any():
+                kicks.extend(zip(fp[full].tolist(), i1[full].tolist()))
+            tgt = np.where(use1, i1, i2)
+            slot = np.where(use1, empty1.argmax(axis=0), empty2.argmax(axis=0))
+            word = np.where(use1, w1, w2)
+            cand = use1 | use2
+            tgt_c = tgt[cand]
+            # first pending item per target bucket wins this round
+            _, win = np.unique(tgt_c, return_index=True)
+            sel = np.flatnonzero(cand)[win]
+            B[tgt[sel]] = word[sel] | (fp[sel] << (slot[sel].astype(np.uint64) * f))
+            # survivors: placement losers only (placed/present/full drop out)
+            lose = np.ones(fp.size, dtype=bool)
+            lose[sel] = False
+            lose &= cand
+            fp, i1, i2 = fp[lose], i1[lose], i2[lose]
+        for kfp, ki1 in kicks:
+            ok &= self.push_fp(kfp, ki1)
         return ok
 
     # ------------------------------------------------------------- query

@@ -328,3 +328,39 @@ def test_constrain_fpr_memory_too_little_raises():
         constrain_cuckoo(fpr=0.001, memory=1, budget="resident")
     with pytest.raises(ValueError, match="Too little memory"):
         constrain_cuckoo(fpr=1e-6, memory=2, budget="wire")
+
+
+def test_vectorized_batch_insert_matches_sequential_no_kicks():
+    """r4 vectorized no-kick insert: per-bucket insertion order equals
+    array order, so at loads where no kicks occur the result is
+    byte-identical however the batch is split — including one item at a
+    time through the scalar push_fp path."""
+    rs = np.random.default_rng(21)
+    h = rs.integers(0, 2**64, size=2000, dtype=np.uint64)
+    one = CuckooFilter(1 << 16, f=12)
+    assert one.update_hashes(h)
+    assert one._kick_counter == 0  # fixture is genuinely kick-free
+    split = CuckooFilter(1 << 16, f=12)
+    for i in range(0, 2000, 333):
+        assert split.update_hashes(h[i : i + 333])
+    scalar = CuckooFilter(1 << 16, f=12)
+    for x in h.tolist():
+        assert scalar.push_hash(x)
+    assert np.array_equal(one.buckets, split.buckets)
+    assert np.array_equal(one.buckets, scalar.buckets)
+
+
+def test_vectorized_batch_insert_closed_filter_rejects():
+    """A closed filter must reject unseen items (and accept present ones)
+    through the vectorized path exactly like push_fp."""
+    filt = CuckooFilter(16, f=8)
+    h = _hashes([f"x{i}" for i in range(30)])
+    filt.update_hashes(h)  # small filter: may close
+    if not filt.ejected:  # force closure deterministically
+        more = _hashes([f"y{i}" for i in range(60)])
+        filt.update_hashes(more)
+    assert filt.ejected
+    present = h[filt.contains_hashes(h)]
+    assert filt.update_hashes(present[:4])  # all present -> True
+    fresh = _hashes(["definitely new key"])
+    assert not filt.update_hashes(np.concatenate([present[:2], fresh]))

@@ -167,15 +167,15 @@ def test_lsh_bucket_cap_bounds_hot_bucket(spark):
 def test_cosine_near_dup_bucket_cap(spark, emb):
     """Hot-bucket cap on the embedding self-join: cloning one vector 50x
     creates a dense cluster; cap excludes it, small dups survive."""
-    clones = emb.filter("vec_id = 0").select(
-        (F.col("vec_id") + 5000).alias("vec_id"), "embedding", "label"
+    # NB: 50 clones via ONE crossJoin, not 50 unionByName branches — the
+    # cap+representative path references the corpus plan several times,
+    # and a 50-leaf union plan re-executes per reference (was 500s)
+    clones = (
+        emb.filter("vec_id = 0")
+        .select("embedding", "label")
+        .crossJoin(emb.sparkSession.range(5000, 5050).select(F.col("id").alias("vec_id")))
+        .select("vec_id", "embedding", "label")
     )
-    for i in range(1, 50):
-        clones = clones.unionByName(
-            emb.filter("vec_id = 0").select(
-                (F.col("vec_id") + 5000 + i).alias("vec_id"), "embedding", "label"
-            )
-        )
     pair = emb.filter("vec_id = 1").select(
         (F.col("vec_id") + 9000).alias("vec_id"), "embedding", "label"
     )

@@ -212,3 +212,68 @@ def test_state_store_cache_not_aliased(spark, tmp_path):
     states[()]["n_rows"] = 999  # caller mutates, e.g. before a failed save
     again, _ = store.load()
     assert again[()]["n_rows"] == 1
+
+
+def test_seen_before_stream_exactly_once(spark, dirs, tmp_path):
+    """VERDICT r3 #8: streaming seen-before dedup pre-filter. Two file
+    batches with cross-batch duplicates: batch 2's repeats of batch 1
+    texts are dropped; a kill-restart that re-delivers everything makes
+    NO new keep decisions (batch-id guard)."""
+    from pyspark.sql import functions as F
+
+    from probably_jl_spark.streaming.dedup_stream import seen_before_stream, seen_stats
+
+    out_dir = str(tmp_path / "kept")
+
+    def sink(df, batch_id):
+        df.write.mode("append").parquet(out_dir)
+
+    rows1 = [(i, f"document body {i}") for i in range(20)]
+    #  batch 2: 10 repeats of batch-1 texts (new ids) + 5 new + 1 intra-dup
+    rows2 = [(100 + i, f"document body {i}") for i in range(10)]
+    rows2 += [(200 + i, f"fresh text {i}") for i in range(5)]
+    rows2 += [(300, "fresh text 0")]  # duplicate within batch 2 as well
+    spark.createDataFrame(rows1, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(dirs["in"])
+
+    schema = "doc_id long, text string"
+    sdf = spark.readStream.schema(schema).parquet(dirs["in"])
+    q = seen_before_stream(
+        sdf, dirs["state"], dirs["ckpt"], sink,
+        bloom_m=1 << 16, trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+
+    spark.createDataFrame(rows2, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(dirs["in"])
+    q2 = seen_before_stream(
+        spark.readStream.schema(schema).parquet(dirs["in"]),
+        dirs["state"], dirs["ckpt"], sink,
+        bloom_m=1 << 16, trigger={"availableNow": True},
+    )
+    q2.awaitTermination(120)
+
+    kept = spark.read.parquet(out_dir).toPandas()
+    # 20 from batch 1; from batch 2 only the 5 fresh texts (one keeper for
+    # the intra-batch dup pair, min id = 200)
+    assert sorted(kept.doc_id) == list(range(20)) + [200, 201, 202, 203, 204]
+
+    stats = seen_stats(dirs["state"], spark)
+    assert stats["n_rows"] == 36
+    assert sum(stats["kept_per_batch"].values()) == 25
+    assert abs(stats["seen_cardinality_est"] - 25) <= 3
+
+    # kill-restart with a FRESH checkpoint (full re-delivery): the state
+    # store's batch-id guard must make every replayed batch a no-op
+    ckpt2 = str(tmp_path / "ckpt2")
+    q3 = seen_before_stream(
+        spark.readStream.schema(schema).parquet(dirs["in"]),
+        dirs["state"], ckpt2, sink,
+        bloom_m=1 << 16, trigger={"availableNow": True},
+    )
+    q3.awaitTermination(120)
+    kept_after = spark.read.parquet(out_dir).toPandas()
+    assert len(kept_after) == len(kept)
+    assert seen_stats(dirs["state"], spark)["n_rows"] == 36
