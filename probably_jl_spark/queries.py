@@ -744,7 +744,13 @@ def cosine_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = emb.select("vec_id", "embedding").unionByName(
         spark.createDataFrame(twins, "vec_id long, embedding array<float>")
     )
-    out = cosine_near_dup_pairs(both, threshold=0.90, dim=64, n_tables=16).toPandas()
+    # geometry PINNED at 16x8 (the documented gate config): leaving
+    # n_planes to auto-derive would scale b with the fixture size and
+    # quietly erode the 0.95-gate margin (code-review r4); the auto path
+    # is oracle-gated separately by embedding_dedup_dense_docs
+    out = cosine_near_dup_pairs(
+        both, threshold=0.90, dim=64, n_planes=8, n_tables=16
+    ).toPandas()
     found = {(int(a), int(b)) for a, b in zip(out.id_a, out.id_b)}
     recall = len(found & true_pairs) / len(true_pairs)
     precise = bool((out.sim >= 0.90).all())

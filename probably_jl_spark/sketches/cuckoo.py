@@ -225,14 +225,23 @@ class CuckooFilter:
         h = h.astype(np.uint64, copy=False)
         fp = self.fingerprints(h)
         i1 = self.primary_index(h)
-        # set semantics: (fp, i1) fully determines the stored item
+        # set semantics: the stored item is (fp, {i1, i2}) — the UNORDERED
+        # bucket pair, since other_index is an involution. Deduping on the
+        # canonical (fp, min(i1, i2)) catches two batch items that carry
+        # the same fingerprint with swapped primary/alternate indices
+        # (code-review r4: deduping on raw i1 let such a pair double-store
+        # through the vectorized path; the scalar path caught it only via
+        # its per-item contains re-check)
+        ic = np.minimum(i1, self.other_index(i1, fp))
         if self.f + self.nbuckets.bit_length() <= 64:
-            pair = fp * _U(self.nbuckets) + i1.astype(np.uint64)
+            pair = fp * _U(self.nbuckets) + ic.astype(np.uint64)
             _, first = np.unique(pair, return_index=True)
         else:  # f=32 with huge filters: pair key would overflow uint64
-            _, first = np.unique(np.column_stack([fp, i1.view(np.uint64)]), axis=0, return_index=True)
+            _, first = np.unique(np.column_stack([fp, ic.view(np.uint64)]), axis=0, return_index=True)
         first.sort()
-        if self.wpb == 1:
+        if self.wpb == 1 and self.buckets is not None:
+            # (ResidentSmallCuckoo has buckets=None — its small batches
+            # take the scalar loop through the bucket-codec accessors)
             return self._insert_batch_words(fp[first], i1[first])
         ok = True
         fpl = fp.tolist()
@@ -262,9 +271,12 @@ class CuckooFilter:
         i2 = self.other_index(i1, fp)
         ok = True
         if self.ejected:
-            # closed filter: present items are fine, new ones are rejected
+            # closed filter: bucket-present items are fine, new ones are
+            # rejected — exactly push_fp's rule (fp == ejected is NOT
+            # treated as present here; only the conservative membership
+            # query does that, code-review r4)
             w1, w2 = B[i1], B[i2]
-            present = fp == _U(self.ejected)
+            present = np.zeros(fp.size, dtype=bool)
             for s in range(4):
                 sh = _U(s) * f
                 present |= ((w1 >> sh) & fm) == fp

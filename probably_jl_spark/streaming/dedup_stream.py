@@ -14,11 +14,22 @@ composes them:
   every previously-seen content hash; rows whose hash is already present
   are dropped, new rows are delivered to the caller's sink and their
   hashes inserted into the filter;
-* the filter + per-batch kept counters persist through
-  ``SketchStateStore`` (Hadoop FS API, versioned snapshots), and the
-  stored ``last_batch_id`` makes replayed batches no-ops — keep
-  decisions are exactly-once across kill/restart as long as the sink is
-  also idempotent per batch id (Spark's own foreachBatch contract).
+* the filter + keep counters persist through ``SketchStateStore``
+  (Hadoop FS API, versioned snapshots), and the stored
+  ``last_batch_id`` makes replayed batches no-ops — keep decisions are
+  exactly-once across kill/restart as long as the sink is also
+  idempotent per batch id (Spark's own foreachBatch contract).
+
+Checkpoint resets (code-review r4): Spark's batch ids are scoped to the
+query CHECKPOINT, so after a checkpoint loss/reset the re-delivered data
+arrives renumbered from 0. The state records which checkpoint its batch
+ids belong to; on a mismatch the batch-id guard resets instead of
+silently discarding renumbered NEW data, and dedup correctness falls
+back to the Bloom filter itself (content-based: previously-ingested
+texts are "seen" and drop, genuinely-new ones keep). Within one
+checkpoint lineage keep decisions are exactly-once; across a checkpoint
+reset they are at-least-once for any batch that sank rows but crashed
+before the state committed.
 
 Semantics note (the documented trade): a Bloom "seen" answer can be a
 false positive, so a genuinely-new document is dropped with probability
@@ -67,44 +78,61 @@ def seen_before_stream(
     store = SketchStateStore(state_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.types import StructType
+
         store._spark = batch_df.sparkSession
         states, last = store.load()
-        if batch_id <= last:
-            return  # replayed batch: keep decisions already made
         blobs = states.get((), {})
+        # batch ids are scoped to the query checkpoint: on a checkpoint
+        # reset the stored ids are from a different numbering, so the
+        # guard must reset too (replayed OLD texts still drop — the Bloom
+        # filter is content-based), else renumbered NEW data is silently
+        # discarded (code-review r4)
+        if blobs.get("lineage") == checkpoint_dir and batch_id <= last:
+            return  # same lineage, replayed batch: decisions already made
         bf = (
             BloomFilter.from_bytes(blobs["seen"])
             if "seen" in blobs
             else BloomFilter(bloom_m, bloom_k)
         )
-        # batch-local exact dedup on the content hash: min id per hash,
-        # a narrow (hash, id) aggregation — full rows stay put
-        hashed = batch_df.withColumn("__h", F.xxhash64(F.col(text_col)))
-        reps = hashed.groupBy("__h").agg(F.min(id_col).alias("__rep"))
-        # probe the running filter executor-side (broadcast, vectorized)
-        from ..functions import batch_contains
+        # one source read for the batch's several actions below
+        batch_df.persist()
+        try:
+            # batch-local exact dedup on the content hash: min id per
+            # hash + multiplicity, a narrow (hash, id, count) aggregation
+            hashed = batch_df.withColumn("__h", F.xxhash64(F.col(text_col)))
+            reps = hashed.groupBy("__h").agg(
+                F.min(id_col).alias("__rep"), F.count(F.lit(1)).alias("__cnt")
+            )
+            # probe the running filter executor-side (broadcast, vectorized)
+            from ..functions import batch_contains
 
-        probed = batch_contains(reps, ["__h"], bf, out_col="__seen", hashed=True)
-        new_reps = probed.filter(~F.col("__seen")).select("__h", "__rep")
-        picked = new_reps.collect()  # new distinct hashes only
-        new_rows = hashed.join(
-            F.broadcast(
-                batch_df.sparkSession.createDataFrame(
-                    [(int(r["__rep"]),) for r in picked], f"{id_col} long"
-                )
-            ),
-            id_col,
-            "leftsemi",
-        ).drop("__h")
-        sink(new_rows, batch_id)
+            probed = batch_contains(reps, ["__h"], bf, out_col="__seen", hashed=True)
+            # driver receives only the batch's NEW distinct hashes (bounded
+            # by batch novelty) plus one scalar row-count — both jobs read
+            # the persisted batch, not the source
+            picked = probed.filter(~F.col("__seen")).select("__h", "__rep").collect()
+            n_batch_rows = probed.agg(F.sum("__cnt").alias("n")).collect()[0]["n"] or 0
+            keep_schema = StructType([batch_df.schema[id_col]])
+            new_rows = hashed.join(
+                F.broadcast(
+                    batch_df.sparkSession.createDataFrame(
+                        [(r["__rep"],) for r in picked], keep_schema
+                    )
+                ),
+                id_col,
+                "leftsemi",
+            ).drop("__h")
+            sink(new_rows, batch_id)
+        finally:
+            batch_df.unpersist()
         if picked:
             hs = np.array([r["__h"] for r in picked], dtype=np.int64).view(np.uint64)
             bf.update_hashes(hs)
         blobs["seen"] = bf.to_bytes()
-        kept = dict(blobs.get("kept_per_batch", {}))
-        kept[batch_id] = len(picked)
-        blobs["kept_per_batch"] = kept
-        blobs["n_rows"] = blobs.get("n_rows", 0) + batch_df.count()
+        blobs["n_kept"] = blobs.get("n_kept", 0) + len(picked)
+        blobs["n_rows"] = blobs.get("n_rows", 0) + n_batch_rows
+        blobs["lineage"] = checkpoint_dir
         states[()] = blobs
         store.save(states, batch_id)
 
@@ -117,15 +145,15 @@ def seen_before_stream(
 
 
 def seen_stats(state_dir: str, spark=None) -> dict:
-    """{'n_rows', 'kept_per_batch', 'seen_cardinality_est'} from the
-    persisted state (cardinality via the Bloom estimator, bloom.py)."""
+    """{'n_rows', 'n_kept', 'seen_cardinality_est'} from the persisted
+    state (cardinality via the Bloom estimator, bloom.py)."""
     store = SketchStateStore(state_dir, spark)
     states, last = store.load()
     blobs = states.get((), {})
     out = {
         "last_batch_id": last,
         "n_rows": blobs.get("n_rows", 0),
-        "kept_per_batch": dict(blobs.get("kept_per_batch", {})),
+        "n_kept": blobs.get("n_kept", 0),
     }
     if "seen" in blobs:
         out["seen_cardinality_est"] = BloomFilter.from_bytes(blobs["seen"]).cardinality()

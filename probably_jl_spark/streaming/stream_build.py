@@ -37,8 +37,9 @@ class SketchStateStore:
 
     Crash safety without an overwrite-rename (HDFS rename won't clobber,
     object stores aren't atomic on overwrite): each save writes
-    ``state.b<batchid>.pkl`` via a temp file + rename-to-new-name, and
-    ``load`` picks the highest completed batch id — a crash at any point
+    ``state.b<version>.pkl`` (version = monotone snapshot counter; the
+    batch id lives inside the blob) via a temp file + rename-to-new-name,
+    and ``load`` picks the highest completed version — a crash at any point
     leaves the previous snapshot intact and readable. States and the
     batch id live in one snapshot, so a replayed batch can never
     double-merge (the foreachBatch guard reads both together)."""
@@ -120,8 +121,15 @@ class SketchStateStore:
         if not fs.exists(dirp):
             fs.mkdirs(dirp)
         blob = pickle.dumps({"states": states, "last_batch_id": batch_id})
-        tmp = jvm.org.apache.hadoop.fs.Path(dirp, f"state.b{batch_id}.pkl.tmp")
-        final = jvm.org.apache.hadoop.fs.Path(dirp, f"state.b{batch_id}.pkl")
+        # the snapshot NUMBER is a monotone version, not the batch id:
+        # after a checkpoint reset batch ids renumber from 0, and a
+        # batch-id-named snapshot would sort BELOW the previous lineage's
+        # snapshots — load() would forever return stale state
+        # (code-review r4). The batch id itself lives in the pickle.
+        snaps = self._snapshots(jvm, fs, dirp)
+        version = (snaps[-1][0] + 1) if snaps else max(batch_id, 0)
+        tmp = jvm.org.apache.hadoop.fs.Path(dirp, f"state.b{version}.pkl.tmp")
+        final = jvm.org.apache.hadoop.fs.Path(dirp, f"state.b{version}.pkl")
         stream = fs.create(tmp, True)
         try:
             stream.write(blob)
@@ -139,12 +147,12 @@ class SketchStateStore:
             )
         # opportunistic cleanup of superseded snapshots (keep the latest)
         # and of stale temp files from crashed earlier saves
-        for bid, path in self._snapshots(jvm, fs, dirp):
-            if bid < batch_id:
+        for v, path in self._snapshots(jvm, fs, dirp):
+            if v < version:
                 fs.delete(path, False)
         for st in fs.listStatus(dirp):
             name = st.getPath().getName()
-            if name.endswith(".pkl.tmp") and name != f"state.b{batch_id}.pkl.tmp":
+            if name.endswith(".pkl.tmp") and name != f"state.b{version}.pkl.tmp":
                 fs.delete(st.getPath(), False)
 
     def sketches(self, specs: list[SketchSpec], group: tuple = ()) -> dict:

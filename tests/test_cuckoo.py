@@ -364,3 +364,81 @@ def test_vectorized_batch_insert_closed_filter_rejects():
     assert filt.update_hashes(present[:4])  # all present -> True
     fresh = _hashes(["definitely new key"])
     assert not filt.update_hashes(np.concatenate([present[:2], fresh]))
+
+
+def test_batch_same_fp_alternate_pair_stores_once():
+    """code-review r4: two batch items with the SAME fingerprint whose
+    primary indices are each other's alternate bucket are one logical
+    item — the canonical (fp, min(i1,i2)) dedup must store it once,
+    byte-identical to sequential insertion."""
+    probe = CuckooFilter(64, f=8)  # nbuckets=16: collisions easy to find
+    rs = np.random.default_rng(3)
+    h = rs.integers(0, 2**64, size=200_000, dtype=np.uint64)
+    fp = probe.fingerprints(h)
+    i1 = probe.primary_index(h)
+    i2 = probe.other_index(i1, fp)
+    seen: dict[tuple, int] = {}
+    pair = None
+    for j in range(h.size):
+        key = (int(fp[j]), min(int(i1[j]), int(i2[j])), max(int(i1[j]), int(i2[j])))
+        if key in seen and i1[seen[key]] != i1[j]:
+            pair = (seen[key], j)
+            break
+        seen.setdefault(key, j)
+    assert pair is not None, "fixture search failed"
+    a_h = np.array([h[pair[0]], h[pair[1]]], dtype=np.uint64)
+    batch = CuckooFilter(64, f=8)
+    assert batch.update_hashes(a_h)
+    seq = CuckooFilter(64, f=8)
+    for x in a_h.tolist():
+        assert seq.push_hash(x)
+    assert np.array_equal(batch.buckets, seq.buckets)
+    # exactly ONE stored copy across both candidate buckets
+    the_fp = int(fp[pair[0]])
+    copies = sum(
+        s == the_fp
+        for b in {int(i1[pair[0]]), int(i2[pair[0]])}
+        for s in batch._bucket_slots(b)
+    )
+    assert copies == 1
+
+
+def test_batch_closed_filter_matches_push_fp_on_ejected_fp():
+    """code-review r4: an unseen item whose fingerprint equals the
+    ejected one must be REJECTED by the batch path exactly like push_fp
+    (only the conservative membership query treats fp==ejected as
+    present)."""
+    filt = CuckooFilter(16, f=8)
+    filt.update_hashes(_hashes([f"x{i}" for i in range(60)]))
+    if not filt.ejected:
+        filt.update_hashes(_hashes([f"y{i}" for i in range(120)]))
+    assert filt.ejected
+    target = int(filt.ejected)
+    rs = np.random.default_rng(7)
+    h = rs.integers(0, 2**64, size=300_000, dtype=np.uint64)
+    fps = filt.fingerprints(h)
+    cand = None
+    for j in np.flatnonzero(fps == target).tolist():
+        # need a candidate NOT bucket-present (contains_fp would call it
+        # present via the conservative fp==ejected rule — that's a QUERY
+        # rule, not an insert rule)
+        i1 = int(h[j]) & filt.mask
+        i2 = filt.other_index(i1, target)
+        if not filt._bucket_contains(i1, target) and not filt._bucket_contains(i2, target):
+            cand = j
+            break
+    assert cand is not None, "fixture search failed"
+    assert filt.push_fp(target, int(h[cand]) & filt.mask) is False
+    assert filt.update_hashes(h[cand : cand + 1]) is False
+
+
+def test_resident_small_batch_update():
+    """code-review r4: a trickle update (batch far smaller than the
+    filter) on ResidentSmallCuckoo must take the per-bucket codec path,
+    not crash on the word-layout fast path (buckets is None)."""
+    from probably_jl_spark.sketches.smallcuckoo import ResidentSmallCuckoo
+
+    filt = ResidentSmallCuckoo(1 << 12, f=12)
+    h = np.array([1, 2, 3], dtype=np.uint64)
+    assert filt.update_hashes(h)
+    assert filt.contains_hashes(h).all()

@@ -301,7 +301,9 @@ def test_cosine_near_dup_multitable_recall(spark, emb):
     near-identical) the multi-table union must reach recall >= 0.95
     against the exact all-pairs truth."""
     both, true_pairs = _perturbed_twins(spark, emb)
-    out = cosine_near_dup_pairs(both, threshold=0.90, dim=64, n_tables=16).toPandas()
+    out = cosine_near_dup_pairs(
+        both, threshold=0.90, dim=64, n_planes=8, n_tables=16
+    ).toPandas()
     found = {(int(a), int(b)) for a, b in zip(out.id_a, out.id_b)}
     recall = len(found & true_pairs) / len(true_pairs)
     assert recall >= 0.95, f"recall {recall} on clustered fixture"

@@ -262,18 +262,37 @@ def test_seen_before_stream_exactly_once(spark, dirs, tmp_path):
 
     stats = seen_stats(dirs["state"], spark)
     assert stats["n_rows"] == 36
-    assert sum(stats["kept_per_batch"].values()) == 25
+    assert stats["n_kept"] == 25
     assert abs(stats["seen_cardinality_est"] - 25) <= 3
 
-    # kill-restart with a FRESH checkpoint (full re-delivery): the state
-    # store's batch-id guard must make every replayed batch a no-op
-    ckpt2 = str(tmp_path / "ckpt2")
+    # restart under the SAME checkpoint with no new data: nothing fires,
+    # state untouched (exactly-once within one checkpoint lineage)
     q3 = seen_before_stream(
+        spark.readStream.schema(schema).parquet(dirs["in"]),
+        dirs["state"], dirs["ckpt"], sink,
+        bloom_m=1 << 16, trigger={"availableNow": True},
+    )
+    q3.awaitTermination(120)
+    assert len(spark.read.parquet(out_dir).toPandas()) == len(kept)
+    assert seen_stats(dirs["state"], spark)["n_kept"] == 25
+
+    # checkpoint RESET (full re-delivery, renumbered batch ids): the
+    # lineage guard reprocesses instead of discarding, and the Bloom
+    # filter itself drops every already-ingested text — no duplicate
+    # keeps, counters advance only by re-ingested rows (code-review r4:
+    # the pure batch-id guard would silently discard renumbered NEW data)
+    ckpt2 = str(tmp_path / "ckpt2")
+    spark.createDataFrame(
+        [(400, "post-reset brand new text")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(dirs["in"])
+    q4 = seen_before_stream(
         spark.readStream.schema(schema).parquet(dirs["in"]),
         dirs["state"], ckpt2, sink,
         bloom_m=1 << 16, trigger={"availableNow": True},
     )
-    q3.awaitTermination(120)
+    q4.awaitTermination(120)
     kept_after = spark.read.parquet(out_dir).toPandas()
-    assert len(kept_after) == len(kept)
-    assert seen_stats(dirs["state"], spark)["n_rows"] == 36
+    # every old text still kept exactly once; the genuinely-new post-reset
+    # doc was NOT lost to the replay guard
+    assert sorted(kept_after.doc_id) == sorted(list(kept.doc_id) + [400])
+    assert seen_stats(dirs["state"], spark)["n_kept"] == 26
