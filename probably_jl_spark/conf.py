@@ -68,7 +68,7 @@ def apply_conf(builder, conf: dict[str, str]):
 
 def iceberg_conf(
     catalog: str = "lake",
-    warehouse: str = "s3://warehouse/path",
+    warehouse: str = "s3://example-bucket/warehouse",  # caller-supplied in any real deployment
     catalog_impl: str = "org.apache.iceberg.spark.SparkCatalog",
     catalog_type: str = "glue",
 ) -> dict[str, str]:
