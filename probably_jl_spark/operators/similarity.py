@@ -486,8 +486,18 @@ def cosine_near_dup_pairs(
     keys = multitable_buckets(emb_df, dim, n_tables, n_planes, seed, id_col, vec_col)
     star = None
     if max_bucket_size is not None:
+        # materialize the sized keys ONCE: the cap path reads them from
+        # several branches (sub, over, re-cap, and both self-join sides),
+        # and Catalyst does NOT reuse the window subtree across branches
+        # (measured: zero ReusedExchange, the corpus scan + L*b matmul
+        # mapInPandas re-ran per branch). localCheckpoint pins the ~28
+        # bytes/key rows to executor storage; everything downstream is a
+        # cheap re-read. NB this makes the builder semi-eager (the keys
+        # job runs at call time).
         w = Window.partitionBy("table", "bucket")
-        sized = keys.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        sized = keys.withColumn(
+            "__bsz", F.count(F.lit(1)).over(w)
+        ).localCheckpoint()
         sub = sized.filter(F.col("__bsz") <= max_bucket_size).drop("__bsz")
         over = sized.filter(F.col("__bsz") > max_bucket_size).drop("__bsz")
         # dense members: anything in at least one over-cap bucket.
@@ -495,7 +505,7 @@ def cosine_near_dup_pairs(
         dense = emb_df.join(over_ids, id_col, "leftsemi")
         cells = quantize_cells(dense, id_col=id_col, vec_col=vec_col)
         wq = Window.partitionBy("qcell")
-        labeled = cells.withColumn("__rep", F.min(id_col).over(wq))
+        labeled = cells.withColumn("__rep", F.min(id_col).over(wq)).localCheckpoint()
         # star pairs: rep -> every other member of its quantized cell
         # (rep = min id, so id_a < id_b holds by construction)
         star = labeled.filter(F.col(id_col) != F.col("__rep")).select(
@@ -513,7 +523,7 @@ def cosine_near_dup_pairs(
             .filter(F.col("__bsz") <= max_bucket_size)
             .drop("__bsz")
         )
-        keys = sub.unionByName(recapped)
+        keys = sub.unionByName(recapped).localCheckpoint()
     l = keys.select("table", "bucket", F.col(id_col).alias("id_a"))
     r = keys.select("table", "bucket", F.col(id_col).alias("id_b"))
     pairs = (

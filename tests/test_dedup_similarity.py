@@ -555,3 +555,23 @@ def test_ann_lsh_default_is_multiprobe(spark, emb):
         a = set(approx[approx.query_id == i].neighbor_id)
         rs.append(len(e & a) / max(len(e), 1))
     assert sum(rs) / len(rs) >= 0.7
+
+
+def test_near_dup_cap_path_materializes_keys_once(spark, emb):
+    """The cap path's many branches (sub/over/re-cap/self-join sides)
+    must read MATERIALIZED keys, not re-run the corpus scan + matmul
+    mapInPandas per branch (measured: Catalyst gave zero ReusedExchange
+    across the branches before the localCheckpoint)."""
+    from probably_jl_spark.operators.similarity import cosine_near_dup_pairs
+
+    out = cosine_near_dup_pairs(
+        emb.select("vec_id", "embedding"), threshold=0.95, dim=64,
+        n_planes=8, n_tables=4, max_bucket_size=16, corpus_size=500,
+    )
+    out.count()
+    final = (
+        out._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert final.count("MapInPandas") == 0, final  # keys pass ran pre-join
+    assert "ExistingRDD" in final  # branches read the checkpointed keys
