@@ -403,6 +403,11 @@ def connected_components(
     Input: (id_a, id_b) pairs. Output: one row per id appearing in any
     pair, with its cluster_rep; isolated docs are absent (caller left-
     joins and coalesces to self, see dedup_assign)."""
+    # materialize pairs BEFORE the bidirect union: its two branches each
+    # reference `pairs`, and the upstream pair pipeline (LSH candidate
+    # join + exact rerank for embeddings) would otherwise execute twice
+    # inside the edges-checkpoint job
+    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
