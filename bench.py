@@ -21,7 +21,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
-import statistics
+
 import subprocess
 import sys
 import time

@@ -25,7 +25,6 @@ from .functions import batch_contains
 from .operators.build import sketch_table
 from .operators.grouped import grouped_sketch
 from .operators.specs import SketchSpec, sketch_from_bytes
-from .sketches.hll import HyperLogLog
 from .sources.transcripts import events_as_transcripts, with_latency
 
 QS = ["0.01", "0.1", "0.25", "0.5", "0.75", "0.9", "0.99"]
