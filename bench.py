@@ -440,6 +440,20 @@ def run_bench() -> dict:
     extras["clean_corpus_kept"] = n_clean
     extras["clean_corpus_docs_per_sec"] = round(n_docs / clean_sec)
 
+    # map-mode dedup (r4): the dedup exchange carries (id, md5)
+    # projections + an id semi-join instead of full rows — same output
+    # (oracle-gated), different exchange economics. NB the transcript
+    # docs here are NARROW (~60 B), the rows mode's best case: map mode
+    # measures ~1.8x slower on them (md5 + the second source read beat
+    # shuffling short rows), which is exactly the docstring's guidance —
+    # reach for dedup='map' when documents are wide, not by default.
+    t0 = time.perf_counter()
+    n_clean_map = clean_corpus(
+        docs, min_tokens=3, min_quality_milli=200, dedup="map"
+    ).count()
+    queries["clean_corpus_map_docs"] = round(time.perf_counter() - t0, 3)
+    extras["clean_corpus_map_kept"] = n_clean_map
+
     probes = spark.range(0, 1_000_000).select(
         F.format_string("conv-%08d", F.col("id")).alias("conv_id")
     )
