@@ -22,9 +22,10 @@ MinHash+LSH, SimHash, n-gram Jaccard. Spark-first design:
 Scale notes: every self-join is on a (band, bucket-hash) key whose
 cardinality grows with the corpus — no broadcast of the corpus, no
 driver-side state. Boilerplate-skewed buckets (shared headers/templates)
-are guarded by ``max_bucket_size``: over-cap buckets are dense duplicate
-clusters that exact dedup collapses; enumerating their quadratic pairs is
-excluded by design.
+are guarded by ``max_bucket_size``: over-cap buckets collapse to a
+verified min-id-representative STAR of pairs (linear in bucket size)
+instead of enumerating their quadratic pairs — and instead of silently
+dropping their members, which a cap alone would do (VERDICT r04).
 """
 
 from __future__ import annotations
@@ -112,7 +113,8 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 16,
     rows_per_band: int = 4,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 1024,
+    materialize: str = "local",
 ) -> DataFrame:
     """Candidate (id_a, id_b) pairs sharing >= 1 LSH band bucket.
     Explodes each signature into `bands` (band_idx, band_hash) rows and
@@ -120,13 +122,33 @@ def lsh_candidate_pairs(
     the documents.
 
     ``max_bucket_size`` is the boilerplate skew guard (VERDICT r01 "What's
-    wrong #4"): one shared header/template puts millions of docs in the
-    same band bucket and the self-join goes quadratic in it. Buckets above
-    the cap are excluded — an over-cap LSH bucket is a dense duplicate
-    cluster whose members exact-dedup (or a representative pass) already
-    collapses; enumerating its O(n^2) pairs is never the right plan. The
-    size filter is a window over the same (band, bucket) key the join
-    shuffles on, so it adds no extra exchange on the filtered side."""
+    wrong #4"), finite BY DEFAULT since r5: one shared header/template
+    puts millions of docs in the same band bucket and the self-join goes
+    quadratic in it. Over-cap buckets no longer silently drop their
+    members from the pair graph (VERDICT r04 missing #1 — the r3 trap the
+    cosine path fixed, now ported back): each over-cap (band, bucket)
+    emits one STAR of pairs (min-id representative -> every other
+    member), LINEAR in bucket size. A 64-bit band hash collides by chance
+    with probability ~2^-64, so an over-cap bucket really is a cluster
+    agreeing on ``rows_per_band`` MinHash values — a strong similarity
+    signal; the star pairs then pass through the caller's exact-Jaccard
+    verification like any other candidate, so false members cost a wasted
+    verify, never a wrong answer. (Residual recall note: two members of
+    an over-cap bucket that are near-dups of each other but NOT of the
+    representative only pair up if some other band connects them — the
+    same documented residual as the cosine path's star pass.)
+
+    Bucket sizes come from ``groupBy(band, bucket).count()`` — map-side
+    partial agg whose over-cap output is bounded by total_rows/cap —
+    broadcast back onto the banded rows, NOT from ``count(1) OVER``
+    (which shuffled AND sorted every banded row; VERDICT r04 "What's
+    wrong #1"). With a finite cap the banded rows are materialized once
+    (semi-eager; ``materialize`` as in
+    ``operators.materialize.materialize``) because the over-list agg,
+    both split branches and both self-join sides read them and Catalyst
+    does not reuse exchanges across branches."""
+    from .materialize import materialize as _mat
+
     bandcols = F.array(
         *[
             F.xxhash64(
@@ -137,25 +159,37 @@ def lsh_candidate_pairs(
         ]
     )
     banded = sig_df.select(F.col(id_col), F.posexplode(bandcols).alias("band", "bucket"))
+    star = None
     if max_bucket_size is not None:
-        w = Window.partitionBy("band", "bucket")
-        banded = (
-            banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
+        banded = _mat(banded, materialize)
+        over_b = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        over_rows = banded.join(F.broadcast(over_b), ["band", "bucket"], "leftsemi")
+        banded = banded.join(F.broadcast(over_b), ["band", "bucket"], "left_anti")
+        # one representative (min id) per over-cap bucket — again a tiny
+        # aggregate (<= one row per over-cap bucket), broadcast back to
+        # form the linear star; id_a < id_b holds because rep = min
+        reps = over_rows.groupBy("band", "bucket").agg(F.min(id_col).alias("id_a"))
+        star = (
+            over_rows.join(F.broadcast(reps), ["band", "bucket"])
+            .filter(F.col(id_col) != F.col("id_a"))
+            .select("id_a", F.col(id_col).alias("id_b"))
         )
     left = banded.alias("l")
     right = banded.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    pairs = left.join(
+        right,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def jaccard_pairs(
@@ -188,13 +222,19 @@ def minhash_near_dups(
     n_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 1024,
+    materialize: str = "local",
 ) -> DataFrame:
     """Full pipeline: MinHash -> LSH bands -> exact-Jaccard verify ->
-    pairs with jaccard >= threshold. ``max_bucket_size`` caps LSH bucket
-    fan-out on boilerplate-skewed corpora (see lsh_candidate_pairs)."""
+    pairs with jaccard >= threshold. ``max_bucket_size`` (finite by
+    default since r5) caps LSH bucket fan-out on boilerplate-skewed
+    corpora; over-cap buckets collapse to a verified representative star
+    instead of silently dropping members (see lsh_candidate_pairs, which
+    also documents the semi-eager materialization the cap implies)."""
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
-    cands = lsh_candidate_pairs(sigs, id_col, bands, n_hashes // bands, max_bucket_size)
+    cands = lsh_candidate_pairs(
+        sigs, id_col, bands, n_hashes // bands, max_bucket_size, materialize
+    )
     verified = jaccard_pairs(df, cands, id_col, text_col, shingle_k)
     return verified.filter(F.col("jaccard") >= threshold)
 
@@ -337,41 +377,71 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
+    materialize: str = "local",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
     Candidates via 4x16-bit band equality (any equal quarter), verified
-    with bit_count(a XOR b) in the JVM. ``max_bucket_size`` caps band
-    buckets exactly like lsh_candidate_pairs (boilerplate skew guard)."""
+    with bit_count(a XOR b) in the JVM.
+
+    ``max_bucket_size`` caps band buckets like lsh_candidate_pairs
+    (boilerplate skew guard), with the same aggregate-plus-broadcast
+    sizing (no window sort; VERDICT r04 #1) and the same representative
+    star for over-cap buckets, hamming-verified downstream. It stays
+    OPT-IN here (default None), unlike the MinHash path: a 16-bit chunk
+    bucket collides by chance (only 65k buckets per band), so on a large
+    corpus an over-cap chunk bucket is often random texts, not a dup
+    cluster — the star's (rep, member) pairs then fail verification and
+    a true pair whose ONLY shared chunk fell in that bucket is lost.
+    Set a cap when the corpus is boilerplate-skewed and that recall trade
+    is acceptable."""
+    from .materialize import materialize as _mat
+
     sh = simhash(df, id_col, text_col)
     bandcols = F.array(
         *[F.shiftright(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF)) for b in range(4)]
     )
     banded = sh.select(F.col(id_col), F.col("simhash"), F.posexplode(bandcols).alias("band", "chunk"))
+    star = None
     if max_bucket_size is not None:
-        w = Window.partitionBy("band", "chunk")
-        banded = (
-            banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
+        banded = _mat(banded, materialize)
+        over_b = (
+            banded.groupBy("band", "chunk")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket_size)
+            .select("band", "chunk")
+        )
+        over_rows = banded.join(F.broadcast(over_b), ["band", "chunk"], "leftsemi")
+        banded = banded.join(F.broadcast(over_b), ["band", "chunk"], "left_anti")
+        reps = over_rows.groupBy("band", "chunk").agg(
+            F.min(id_col).alias("id_a"), F.min_by("simhash", F.col(id_col)).alias("sim_a")
+        )
+        star = (
+            over_rows.join(F.broadcast(reps), ["band", "chunk"])
+            .filter(F.col(id_col) != F.col("id_a"))
+            .select(
+                "id_a",
+                F.col(id_col).alias("id_b"),
+                "sim_a",
+                F.col("simhash").alias("sim_b"),
+            )
         )
     l, r = banded.alias("l"), banded.alias("r")
-    cands = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.simhash").alias("sim_a"),
-            F.col("r.simhash").alias("sim_b"),
-        )
-        .distinct()
+    cands = l.join(
+        r,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.chunk") == F.col("r.chunk"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+        F.col("l.simhash").alias("sim_a"),
+        F.col("r.simhash").alias("sim_b"),
     )
+    if star is not None:
+        cands = cands.unionByName(star)
     return (
-        cands.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        cands.distinct()
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
@@ -384,6 +454,7 @@ def connected_components(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 20,
+    materialize: str = "local",
 ) -> DataFrame:
     """Resolve near-dup PAIRS into clusters: (id, cluster_rep) where rep
     is the minimum id reachable through the pair graph — the step that
@@ -402,21 +473,28 @@ def connected_components(
 
     Input: (id_a, id_b) pairs. Output: one row per id appearing in any
     pair, with its cluster_rep; isolated docs are absent (caller left-
-    joins and coalesces to self, see dedup_assign)."""
+    joins and coalesces to self, see dedup_assign).
+
+    ``materialize`` (see ``operators.materialize.materialize``): the
+    iteration materializes pairs/edges/labels each round; the 'local'
+    default pins them to executor storage with no recompute lineage — on
+    spot/preemptible fleets use 'reliable' (ADVICE r4)."""
+    from .materialize import materialize as _mat
+
     # materialize pairs BEFORE the bidirect union: its two branches each
     # reference `pairs`, and the upstream pair pipeline (LSH candidate
     # join + exact rerank for embeddings) would otherwise execute twice
     # inside the edges-checkpoint job
-    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    pairs = _mat(pairs.select("id_a", "id_b"), materialize)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    edges = edges.distinct().localCheckpoint(eager=True)
-    labels = (
+    edges = _mat(edges.distinct(), materialize)
+    labels = _mat(
         edges.select(F.col("src").alias(id_col))
         .distinct()
-        .withColumn("cluster_rep", F.col(id_col))
-        .localCheckpoint(eager=True)
+        .withColumn("cluster_rep", F.col(id_col)),
+        materialize,
     )
     for _ in range(max_iterations):
         nbr_min = (
@@ -433,7 +511,8 @@ def connected_components(
                 ),
                 (F.col("__nbr_min") < F.col("cluster_rep")).alias("__chg"),
             )
-        ).localCheckpoint(eager=True)
+        )
+        new_labels = _mat(new_labels, materialize)
         changed = new_labels.filter(F.col("__chg")).limit(1).count()
         labels = new_labels.drop("__chg")
         if changed == 0:
@@ -451,12 +530,13 @@ def dedup_assign(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    materialize: str = "local",
 ) -> DataFrame:
     """Adds ``cluster_rep`` to every doc: min reachable id through the
     near-dup pair graph, or the doc's own id when it has no duplicates.
     ``keep = (cluster_rep == id)`` is the standard one-per-cluster
     training-data dedup policy."""
-    comp = connected_components(pairs, id_col)
+    comp = connected_components(pairs, id_col, materialize=materialize)
     return (
         df.join(comp, id_col, "left")
         .withColumn("cluster_rep", F.coalesce("cluster_rep", F.col(id_col)))

@@ -635,6 +635,45 @@ def dup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DENSE_MINHASH_BASE = (
+    "the quick brown fox jumps over the lazy dog while seventeen "
+    "migrating storks wheel above a quiet harbor and fishermen mend "
+    "their nets beside weathered boats waiting for the evening tide"
+)
+
+
+def minhash_dense_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Over-cap NEAR-dup cluster through the MinHash representative star
+    (VERDICT r04 missing #1 — the twin of embedding_dedup_dense_docs):
+    60 variants of one base sentence differing only in a 2-char tag
+    (pairwise shingle-Jaccard ~0.98 — near dups, NOT exact clones, so
+    exact dedup can NOT collapse them and the old docstring's defense
+    did not apply) are injected with ids 300000+. With
+    max_bucket_size=16 their band buckets are over cap essentially
+    everywhere; under r4 semantics every member was silently dropped
+    from the pair graph and survived dedup. The star pass must resolve
+    them to one keeper (300000). Oracle = DuckDB recursive CTE over
+    exact all-pairs shingle-Jaccard >= 0.8."""
+    from .operators.dedup import dedup_assign, minhash_near_dups
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = spark.range(60).select(
+        (F.col("id") + 300000).alias("doc_id"),
+        F.concat(
+            F.lit(_DENSE_MINHASH_BASE + " tag "),
+            F.lpad(F.col("id").cast("string"), 2, "0"),
+        ).alias("text"),
+    )
+    aug = docs.unionByName(variants)
+    pairs = minhash_near_dups(
+        aug, threshold=0.8, n_hashes=64, bands=32, max_bucket_size=16
+    )
+    out = dedup_assign(aug, pairs)
+    return out.select(
+        "doc_id", F.col("cluster_rep").cast("long").alias("cluster_rep"), "keep"
+    )
+
+
 def simhash_dups_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at hamming <= 2. Exact text duplicates have
     hamming 0, so the injected pairs are a guaranteed subset; the oracle
@@ -955,6 +994,7 @@ def training_queries() -> dict:
         "exact_dedup_docs": exact_dedup_docs,
         "exact_dedup_map_docs": exact_dedup_map_docs,
         "minhash_near_dup_pairs": minhash_near_dup_pairs,
+        "minhash_dense_dedup_docs": minhash_dense_dedup_docs,
         "dup_cluster_assign": dup_cluster_assign,
         "simhash_dups_docs": simhash_dups_docs,
         "ann_cosine_topk": ann_cosine_topk,
@@ -1001,6 +1041,21 @@ def training_oracles() -> dict:
             "ON a.doc_id < b.doc_id "
             "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
             "greatest(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 1) >= 0.8"
+        ),
+        "minhash_dense_dedup_docs": (
+            "WITH RECURSIVE aug AS (SELECT doc_id, text FROM documents "
+            f"UNION ALL SELECT 300000 + r.range, '{_DENSE_MINHASH_BASE} tag ' || "
+            "lpad(CAST(r.range AS VARCHAR), 2, '0') FROM range(60) r), "
+            f"sh AS (SELECT doc_id, {shingle} AS s FROM aug), "
+            "edges AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM sh a JOIN sh b "
+            "ON a.doc_id < b.doc_id "
+            "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
+            "greatest(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 1) >= 0.8), "
+            "bidir AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges), "
+            "reach AS (SELECT doc_id AS id, doc_id AS label FROM aug "
+            "UNION SELECT e.dst AS id, r.label FROM reach r JOIN bidir e ON e.src = r.id) "
+            "SELECT id AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_rep, "
+            "MIN(label) = id AS keep FROM reach GROUP BY id"
         ),
         "dup_cluster_assign": (
             f"WITH RECURSIVE aug AS ({_AUG_DOCS_SQL}), "
