@@ -557,18 +557,14 @@ def run_bench() -> dict:
 
     # ---------- single-core kernel throughput (reference publishes no
     # absolute numbers, BASELINE.md; these are ours for the record).
-    # Quiet-window gate (VERDICT r3 #2): the box bursts to loadavg ~30
-    # with zero local processes; kernel numbers from such a window are
-    # co-tenant noise, not code. Wait (bounded) for calm, and always
-    # record the loadavg the numbers were taken under.
+    # Quiet-window gate (VERDICT r3 #2, r4 #5): the box bursts to loadavg
+    # ~30 with zero local processes; kernel numbers from such a window
+    # are co-tenant noise, not code. r4 gated ONCE before the kernel
+    # loop, so a mid-loop burst landed in exactly one kernel and shipped
+    # a 12x-wrong cell (bloom 0.52 vs 6.35 M/s). Now each kernel gets
+    # its own bounded quiet-wait AND is the median of 3 runs; the
+    # loadavg each kernel ran under is recorded per kernel.
     spark.stop()
-    kernel_load = None
-    for _ in range(8):
-        kernel_load = round(os.getloadavg()[0], 1)
-        if kernel_load <= 4.0:
-            break
-        log(f"kernel bench: loadavg {kernel_load} > 4, waiting for a quiet window")
-        time.sleep(20)
     import numpy as np
 
     from probably_jl_spark.sketches import BloomFilter, CountMinSketch, HyperLogLog
@@ -581,6 +577,7 @@ def run_bench() -> dict:
     hh = rs.integers(0, 2**64, size=1_000_000, dtype=np.uint64)
     vv = rs.random(1_000_000)
     kern = {}
+    kernel_loads = {}
     # cuckoo sized for lf ~0.25 at 1M inserts: insert cost is load-factor
     # dependent, so both layouts measure at the same geometry (VERDICT r3
     # #3: resident build throughput was claimed, never measured)
@@ -596,15 +593,24 @@ def run_bench() -> dict:
         ("tdigest_200", lambda: TDigest(200), lambda s: s.update_values(vv), False),
         ("kll_200", lambda: KLL(200), lambda s: s.update_values(vv), False),
     ]:
+        wait_budget = 60.0  # per kernel, bounded so a busy box still finishes
+        while wait_budget > 0 and os.getloadavg()[0] > 4.0:
+            log(f"kernel bench [{name}]: loadavg {os.getloadavg()[0]:.1f} > 4, waiting")
+            time.sleep(10)
+            wait_budget -= 10
+        kernel_loads[name] = round(os.getloadavg()[0], 1)
         sk = mk()
         fn(sk)  # warm-up
-        if fresh:
-            sk = mk()
-        t0 = time.perf_counter()
-        fn(sk)
-        kern[name] = round(1.0 / (time.perf_counter() - t0), 2)
+        vals = []
+        for _ in range(3):
+            s2 = mk() if fresh else sk
+            t0 = time.perf_counter()
+            fn(s2)
+            vals.append(1.0 / (time.perf_counter() - t0))
+        kern[name] = round(sorted(vals)[1], 2)  # median of 3
     extras["kernel_mrows_per_sec_single_core"] = kern
-    extras["kernel_loadavg"] = kernel_load
+    extras["kernel_loadavg"] = max(kernel_loads.values()) if kernel_loads else None
+    extras["kernel_loadavg_per_kernel"] = kernel_loads
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     total = round(sum(queries.values()), 3)
@@ -774,13 +780,19 @@ def write_bench_md(result: dict, history: list[dict]) -> None:
         "## Single-core kernel throughput (M items/sec; the reference",
         "publishes no absolute numbers — BASELINE.md)",
         "",
-        f"Measured at 1-min loadavg {result.get('kernel_loadavg')} (quiet-window gate: "
-        "waits up to ~3 min for loadavg <= 4 before sampling).",
+        f"Worst per-kernel 1-min loadavg {result.get('kernel_loadavg')} (per-kernel "
+        "quiet-window gate — waits up to 60 s for loadavg <= 4 before EACH kernel — "
+        "and each cell is the median of 3 runs, so one co-tenant burst can no "
+        "longer ship a 12x-wrong cell; VERDICT r4 #5).",
         "",
-        "| kernel | M/s |",
-        "|---|---|",
+        "| kernel | M/s | loadavg |",
+        "|---|---|---|",
     ]
-    lines += [f"| {k} | {v} |" for k, v in result["kernel_mrows_per_sec_single_core"].items()]
+    loads = result.get("kernel_loadavg_per_kernel", {})
+    lines += [
+        f"| {k} | {v} | {loads.get(k, '—')} |"
+        for k, v in result["kernel_mrows_per_sec_single_core"].items()
+    ]
     k = result["kernel_mrows_per_sec_single_core"]
     if "cuckoo_fast_f12" in k and "cuckoo_resident_f12" in k and k["cuckoo_resident_f12"]:
         lines += [

@@ -137,7 +137,11 @@ def clean_corpus(
       (~24 bytes/row however wide the documents), then the keep-set
       joins back against the filtered scan on id. For wide documents
       this replaces a full-row exchange with two narrow ones; results
-      are value-identical (oracle-gated under both modes). Measured
+      are value-identical up to 128-bit hash collisions (rows mode
+      ties on in-group text equality — collision-proof; map mode
+      trusts the 16-byte md5 alone, quantified in exact_dedup_map —
+      ~1e-17 expected collisions at 10^11 docs; ADVICE r4), and
+      oracle-gated under both modes. Measured
       guidance (bench, 5M docs): on NARROW ~60-byte texts rows mode is
       ~1.8x faster (md5 + the second source read cost more than
       shuffling short rows) — map mode is the wide-document path, not a

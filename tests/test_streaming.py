@@ -296,3 +296,96 @@ def test_seen_before_stream_exactly_once(spark, dirs, tmp_path):
     # doc was NOT lost to the replay guard
     assert sorted(kept_after.doc_id) == sorted(list(kept.doc_id) + [400])
     assert seen_stats(dirs["state"], spark)["n_kept"] == 26
+
+
+def test_near_seen_before_stream_fuzzy(spark, tmp_path):
+    """VERDICT r04 stretch #7: streaming NEAR-dup pre-filter. Batch 2's
+    small-edit variants of batch-1 texts (SimHash hamming <= 3) drop; a
+    hamming-6 edit survives (negative control); within-batch near-dups
+    collapse to the min-id keeper; replay under the same checkpoint makes
+    no new decisions. Fixture hammings are asserted as preconditions so
+    drift fails loudly."""
+    from probably_jl_spark.operators.dedup import simhash
+    from probably_jl_spark.streaming.dedup_stream import (
+        near_seen_before_stream,
+        near_seen_stats,
+    )
+
+    base = ("the committee reviewed quarterly earnings reports and found that "
+            "revenue growth exceeded expectations across most regional divisions "
+            "while operating margins remained stable despite rising material costs "
+            "and persistent supply chain disruptions throughout the fiscal year")
+    t2 = ("maritime biologists catalogued seventeen new species of bioluminescent "
+          "organisms during the deep ocean expedition near hydrothermal vents "
+          "documenting unusual adaptations to extreme pressure and darkness while "
+          "collecting samples for genomic analysis at the research station")
+    near = base.replace("earnings", "profits")        # hamming 3 -> drop
+    far = base.replace("quarterly", "monthly")        # hamming 6 -> keep
+    t2near = t2.replace("genomic", "genetic")         # hamming 2 vs t2 -> intra-batch drop
+    fill = [
+        "alpine climbers documented unusual weather patterns above the glacier line",
+        "the orchestra rehearsed a newly commissioned symphony for the festival",
+        "urban planners proposed expanded transit corridors through the district",
+        "volcanic soil sampling revealed elevated mineral concentrations downslope",
+    ]
+
+    # precondition: the crafted hammings hold under the REAL simhash
+    sh = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(
+            spark.createDataFrame(
+                [(0, base), (1, near), (2, far), (3, t2), (4, t2near)],
+                "doc_id long, text string",
+            )
+        ).collect()
+    }
+    ham = lambda a, b: bin((sh[a] ^ sh[b]) & (2**64 - 1)).count("1")
+    assert 1 <= ham(0, 1) <= 3
+    assert ham(0, 2) > 3
+    assert 1 <= ham(3, 4) <= 3
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "kept")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def sink(df, batch_id):
+        df.write.mode("append").parquet(out_dir)
+
+    rows1 = [(0, base)] + [(i + 1, t) for i, t in enumerate(fill)]
+    spark.createDataFrame(rows1, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    schema = "doc_id long, text string"
+    q = near_seen_before_stream(
+        spark.readStream.schema(schema).parquet(in_dir), state, ckpt, sink,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+
+    rows2 = [(100, near), (101, base), (102, far), (103, t2), (104, t2near)]
+    spark.createDataFrame(rows2, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q2 = near_seen_before_stream(
+        spark.readStream.schema(schema).parquet(in_dir), state, ckpt, sink,
+        trigger={"availableNow": True},
+    )
+    q2.awaitTermination(120)
+
+    kept = spark.read.parquet(out_dir).toPandas()
+    assert sorted(kept.doc_id) == [0, 1, 2, 3, 4, 102, 103]
+
+    stats = near_seen_stats(state, spark)
+    assert stats["n_rows"] == 10
+    assert stats["n_kept"] == 7
+    assert stats["state_hashes"] == 7
+
+    # replay under the same checkpoint: no new decisions
+    q3 = near_seen_before_stream(
+        spark.readStream.schema(schema).parquet(in_dir), state, ckpt, sink,
+        trigger={"availableNow": True},
+    )
+    q3.awaitTermination(120)
+    assert len(spark.read.parquet(out_dir).toPandas()) == 7
+    assert near_seen_stats(state, spark)["n_kept"] == 7
