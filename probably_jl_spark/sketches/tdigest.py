@@ -173,7 +173,15 @@ class TDigest:
         if hi_r == lo_r:
             return float(hi_v)
         frac = (target - lo_r) / (hi_r - lo_r)
-        return float(lo_v + frac * (hi_v - lo_v))
+        est = lo_v + frac * (hi_v - lo_v)
+        # FP rounding can overshoot the bracket: with lo_v = -1.0 and a
+        # subnormal hi_v, (hi_v - lo_v) rounds to exactly 1.0 and
+        # frac ~ 1 lands at 0.0 — ABOVE every ingested value (hypothesis
+        # r5). The true quantile lies inside [lo_v, hi_v] by
+        # construction; clamp to the bracket (which is inside
+        # [vmin, vmax] by definition of the endpoints).
+        lo_b, hi_b = (lo_v, hi_v) if lo_v <= hi_v else (hi_v, lo_v)
+        return float(min(max(est, lo_b), hi_b))
 
     def cdf(self, x: float) -> float:
         if self._buf_n:

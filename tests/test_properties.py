@@ -10,7 +10,7 @@ seconds and can't contend with bench legs.
 """
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from probably_jl_spark.operators.specs import merge_blobs, sketch_from_bytes
@@ -114,6 +114,14 @@ def test_quantile_estimates_within_value_range(vs, q):
 
 @settings(max_examples=30, deadline=None)
 @given(vs=values, split=st.integers(min_value=0, max_value=300))
+@example(
+    vs=[-1.0,
+     -1.0,
+     -2.2250738585072014e-308,
+     -1.1125369292536007e-308,
+     -1.1125369292536007e-308],
+    split=0,
+).via('discovered failure')
 def test_quantile_merge_rank_consistency(vs, split):
     """A merged quantile sketch ranks within the documented bound of the
     split-free build (merge may reorder compactions, so estimates need
