@@ -495,9 +495,12 @@ def run_bench() -> dict:
     # candidate volume ~ L * N^2 / 2^b manageable at any scale
     nd_planes = 18 if _LONG else 14
     t0 = time.perf_counter()
+    # corpus_size is known here — it turns on the auto broadcast-vector
+    # attach (the r5 profile: the shuffle attach of 14M candidate pairs
+    # x two 64-float vectors was 109 of 130 s; broadcast runs it <15 s)
     n_dup_pairs = cosine_near_dup_pairs(
         near_corpus, threshold=0.95, dim=64, n_planes=nd_planes,
-        n_tables=12, max_bucket_size=1000,
+        n_tables=12, max_bucket_size=1000, corpus_size=n_vecs + n_vecs // 100,
     ).count()
     queries["cosine_near_dup_500k"] = round(time.perf_counter() - t0, 3)
     extras["cosine_near_dup_pairs_found"] = n_dup_pairs
@@ -582,9 +585,13 @@ def run_bench() -> dict:
     # dependent, so both layouts measure at the same geometry (VERDICT r3
     # #3: resident build throughput was claimed, never measured)
     for name, mk, fn, fresh in [
-        # fresh=False: measure the 2nd update on the same sketch (warm,
-        # r2/r3-comparable). fresh=True (cuckoo): insert cost rises with
-        # fill, so warm up on a throwaway and measure a fresh instance.
+        # fresh=False: each of the 3 runs measures the 2nd update on ITS
+        # OWN warm sketch (one warm-up update, then the timed one) —
+        # identical semantics to the historical r2/r3 single-sample
+        # rows, repeated iid (code-review r5: re-updating one
+        # accumulating sketch would time progressively fuller tdigest/
+        # kll states). fresh=True (cuckoo): insert cost rises with fill,
+        # so warm up on a throwaway and measure a fresh instance.
         ("hll_p14", lambda: HyperLogLog(), lambda s: s.update_hashes(hh), False),
         ("cms_2048x5", lambda: CountMinSketch(2048, 5), lambda s: s.update_hashes(hh), False),
         ("bloom_4Mbit_k5", lambda: BloomFilter(1 << 22, 5), lambda s: s.update_hashes(hh), False),
@@ -599,11 +606,14 @@ def run_bench() -> dict:
             time.sleep(10)
             wait_budget -= 10
         kernel_loads[name] = round(os.getloadavg()[0], 1)
-        sk = mk()
-        fn(sk)  # warm-up
+        if fresh:
+            warm = mk()
+            fn(warm)  # JIT/cache warm-up on a throwaway
         vals = []
         for _ in range(3):
-            s2 = mk() if fresh else sk
+            s2 = mk()
+            if not fresh:
+                fn(s2)  # warm the instance; the timed call is its 2nd update
             t0 = time.perf_counter()
             fn(s2)
             vals.append(1.0 / (time.perf_counter() - t0))

@@ -161,15 +161,10 @@ def lsh_candidate_pairs(
     banded = sig_df.select(F.col(id_col), F.posexplode(bandcols).alias("band", "bucket"))
     star = None
     if max_bucket_size is not None:
+        from .skew import split_over_cap
+
         banded = _mat(banded, materialize)
-        over_b = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("__bsz"))
-            .filter(F.col("__bsz") > max_bucket_size)
-            .select("band", "bucket")
-        )
-        over_rows = banded.join(F.broadcast(over_b), ["band", "bucket"], "leftsemi")
-        banded = banded.join(F.broadcast(over_b), ["band", "bucket"], "left_anti")
+        banded, over_rows = split_over_cap(banded, ["band", "bucket"], max_bucket_size)
         # one representative (min id) per over-cap bucket — again a tiny
         # aggregate (<= one row per over-cap bucket), broadcast back to
         # form the linear star; id_a < id_b holds because rep = min
@@ -403,15 +398,10 @@ def simhash_near_dups(
     banded = sh.select(F.col(id_col), F.col("simhash"), F.posexplode(bandcols).alias("band", "chunk"))
     star = None
     if max_bucket_size is not None:
+        from .skew import split_over_cap
+
         banded = _mat(banded, materialize)
-        over_b = (
-            banded.groupBy("band", "chunk")
-            .agg(F.count(F.lit(1)).alias("__bsz"))
-            .filter(F.col("__bsz") > max_bucket_size)
-            .select("band", "chunk")
-        )
-        over_rows = banded.join(F.broadcast(over_b), ["band", "chunk"], "leftsemi")
-        banded = banded.join(F.broadcast(over_b), ["band", "chunk"], "left_anti")
+        banded, over_rows = split_over_cap(banded, ["band", "chunk"], max_bucket_size)
         reps = over_rows.groupBy("band", "chunk").agg(
             F.min(id_col).alias("id_a"), F.min_by("simhash", F.col(id_col)).alias("sim_a")
         )

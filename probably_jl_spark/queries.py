@@ -609,11 +609,17 @@ def exact_dedup_map_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs, exact-Jaccard verified at >= 0.8.
     Oracle = brute-force all-pairs shingle Jaccard in DuckDB; matching
-    exactly proves LSH recall 1.0 on this data AND verification precision."""
+    exactly proves LSH recall 1.0 on this data AND verification
+    precision. max_bucket_size is pinned to None: this query's contract
+    is EXACT pair recall, which the capped path deliberately trades away
+    inside over-cap buckets (the capped contract has its own oracle,
+    minhash_dense_dedup_docs) — and None also keeps the plan pure-lazy
+    (code-review r5: the finite default's materialization is semi-eager)."""
     from .operators.dedup import minhash_near_dups
 
     out = minhash_near_dups(
-        _aug_docs(spark, sf_dir), threshold=0.8, n_hashes=64, bands=32
+        _aug_docs(spark, sf_dir), threshold=0.8, n_hashes=64, bands=32,
+        max_bucket_size=None,
     )
     return out.select("id_a", "id_b")  # jaccard doubles excluded: hash-stable
 
@@ -628,7 +634,12 @@ def dup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import dedup_assign, minhash_near_dups
 
     docs = _aug_docs(spark, sf_dir)
-    pairs = minhash_near_dups(docs, threshold=0.8, n_hashes=64, bands=32)
+    # max_bucket_size=None: exact-recall contract vs the brute-force
+    # truth (see minhash_near_dup_pairs; the capped path is oracle-gated
+    # separately by minhash_dense_dedup_docs)
+    pairs = minhash_near_dups(
+        docs, threshold=0.8, n_hashes=64, bands=32, max_bucket_size=None
+    )
     out = dedup_assign(docs, pairs)
     return out.select(
         "doc_id", F.col("cluster_rep").cast("long").alias("cluster_rep"), "keep"

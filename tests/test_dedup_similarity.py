@@ -578,7 +578,12 @@ def test_near_dup_cap_path_materializes_keys_once(spark, emb):
         out._jdf.queryExecution().executedPlan().toString()
         .split("== Initial Plan ==")[0]
     )
-    assert final.count("MapInPandas") == 0, final  # keys pass ran pre-join
+    # the keys pass (mapInArrow since r5; mapInPandas before) must have
+    # run pre-join: the ONLY Python-stage node left in the final plan is
+    # the single post-join exact rerank (its own mapInArrow). More than
+    # one means a branch is re-running the corpus scan + matmul.
+    assert final.count("MapInArrow") == 1, final
+    assert final.count("MapInPandas") == 0, final
     assert "ExistingRDD" in final  # branches read the checkpointed keys
 
 
