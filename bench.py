@@ -412,19 +412,29 @@ def run_bench() -> dict:
 
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     li.count()  # warm page cache
-    t0 = time.perf_counter()
-    sketch_table(
-        li,
-        [
-            SketchSpec("orders", "hll", key_cols=("l_orderkey",)),
-            SketchSpec("parts", "hll", key_cols=("l_partkey", "l_suppkey")),
-            SketchSpec("flags", "cms", key_cols=("l_returnflag", "l_linestatus"), params={"width": 4096, "depth": 5}),
-            SketchSpec("part_member", "bloom", key_cols=("l_partkey",), params={"m": 1 << 21, "k": 5}),
-            SketchSpec("price_td", "tdigest", value_col="l_extendedprice"),
-            SketchSpec("qty_kll", "kll", value_col="l_quantity"),
-        ],
-    )
-    queries["fused_lineitem_build"] = round(time.perf_counter() - t0, 3)
+
+    def _li_build():
+        sketch_table(
+            li,
+            [
+                SketchSpec("orders", "hll", key_cols=("l_orderkey",)),
+                SketchSpec("parts", "hll", key_cols=("l_partkey", "l_suppkey")),
+                SketchSpec("flags", "cms", key_cols=("l_returnflag", "l_linestatus"), params={"width": 4096, "depth": 5}),
+                SketchSpec("part_member", "bloom", key_cols=("l_partkey",), params={"m": 1 << 21, "k": 5}),
+                SketchSpec("price_td", "tdigest", value_col="l_extendedprice"),
+                SketchSpec("qty_kll", "kll", value_col="l_quantity"),
+            ],
+        )
+
+    # min of 2: a sub-second job under a co-tenant burst ships a 10x-wrong
+    # cell otherwise (r4 spread: 0.916 vs 16.22 on membership_probe; same
+    # exposure here). Two runs cost ~2 s; long queries average bursts out.
+    vals = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _li_build()
+        vals.append(time.perf_counter() - t0)
+    queries["fused_lineitem_build"] = round(min(vals), 3)
 
     tr = spark.read.parquet(tr_path)
     t0 = time.perf_counter()
@@ -487,11 +497,14 @@ def run_bench() -> dict:
     probes = spark.range(0, 1_000_000).select(
         F.format_string("conv-%08d", F.col("id")).alias("conv_id")
     )
-    t0 = time.perf_counter()
-    n_members = (
-        batch_contains(probes, ["conv_id"], res.sketches["conv_member"]).filter("member").count()
-    )
-    queries["membership_probe_1m"] = round(time.perf_counter() - t0, 3)
+    vals = []
+    for _ in range(2):  # min of 2 (see fused_lineitem_build note)
+        t0 = time.perf_counter()
+        n_members = (
+            batch_contains(probes, ["conv_id"], res.sketches["conv_member"]).filter("member").count()
+        )
+        vals.append(time.perf_counter() - t0)
+    queries["membership_probe_1m"] = round(min(vals), 3)
     extras["probe_members_found"] = n_members
 
     # ---------- embedding ops at bench scale (VERDICT r02 #8: measure the
@@ -603,6 +616,8 @@ def run_bench() -> dict:
     from probably_jl_spark.sketches import BloomFilter, CountMinSketch, HyperLogLog
     from probably_jl_spark.sketches.cuckoo import CuckooFilter
     from probably_jl_spark.sketches.kll import KLL
+    from probably_jl_spark.sketches.kmv import KMV
+    from probably_jl_spark.sketches.mg import MisraGries
     from probably_jl_spark.sketches.smallcuckoo import ResidentSmallCuckoo
     from probably_jl_spark.sketches.tdigest import TDigest
 
@@ -629,6 +644,11 @@ def run_bench() -> dict:
         ("cuckoo_resident_f12", lambda: ResidentSmallCuckoo(1 << 22, f=12), lambda s: s.update_hashes(hh), True),
         ("tdigest_200", lambda: TDigest(200), lambda s: s.update_values(vv), False),
         ("kll_200", lambda: KLL(200), lambda s: s.update_values(vv), False),
+        # fresh=True: a full KMV prunes a repeated batch to nothing and a
+        # warm MG re-absorbs only retained keys, so a 2nd-update timing
+        # would measure the degenerate path, not ingest
+        ("kmv_1024", lambda: KMV(1024), lambda s: s.update_hashes(hh), True),
+        ("mg_256", lambda: MisraGries(256), lambda s: s.update_hashes(hh), True),
     ]:
         # per kernel, bounded so a busy box still finishes. The first
         # kernel needs the longest window: it runs right after
@@ -815,7 +835,10 @@ def write_bench_md(result: dict, history: list[dict]) -> None:
         "recent full-profile runs (BENCH_HISTORY.jsonl, all on this round's "
         "code). The query phase has no quiet-window gate, so single-run "
         "cells can be inflated by co-tenant bursts; the min column is the "
-        "noise floor (same discipline as the scaling-leg minimums).",
+        "noise floor (same discipline as the scaling-leg minimums). The "
+        "two sub-2s queries (fused_lineitem_build, membership_probe_1m) "
+        "report min-of-2 in-run — a burst across a short job is a 10x "
+        "error, across a long one a few percent.",
         "",
         "| query | sec (this run) | min (last 3 runs) | max |",
         "|---|---|---|---|",

@@ -1,6 +1,6 @@
 """probably_jl_spark — a PySpark-native distributed sketch / approximate-
 aggregation library: mergeable HyperLogLog, count-min, Bloom, cuckoo,
-t-digest and KLL states built inside vectorized Arrow UDFs over transcript
+t-digest, KLL, KMV (theta-style set ops) and Misra-Gries states built inside vectorized Arrow UDFs over transcript
 tables, merged treeReduce-style. See SURVEY.md / README.md."""
 
 from .operators.build import BuildResult, build_partials, sketch_table, tree_merge
@@ -11,6 +11,8 @@ from .sketches.cms import CountMinSketch, params_from_error
 from .sketches.cuckoo import CuckooFilter, CuckooOverflowError, constrain_cuckoo
 from .sketches.hll import HyperLogLog
 from .sketches.kll import KLL
+from .sketches.kmv import KMV
+from .sketches.mg import MisraGries
 from .sketches.tdigest import TDigest
 
 __version__ = "0.1.0"
@@ -18,7 +20,7 @@ __version__ = "0.1.0"
 __all__ = [
     "BloomFilter", "BuildResult", "CountMinSketch", "CuckooFilter",
     "CuckooOverflowError",
-    "HyperLogLog", "KLL", "SketchSpec", "TDigest", "build_partials",
+    "HyperLogLog", "KLL", "KMV", "MisraGries", "SketchSpec", "TDigest", "build_partials",
     "constrain_bloom", "constrain_cuckoo", "grouped_sketch", "merge_blobs",
     "params_from_error", "sketch_from_bytes", "sketch_table", "tree_merge",
 ]

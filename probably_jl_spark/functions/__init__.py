@@ -20,12 +20,14 @@ from ..sketches.cms import CountMinSketch
 from ..sketches.cuckoo import CuckooFilter
 from ..sketches.hll import HyperLogLog
 from ..sketches.kll import KLL
+from ..sketches.kmv import KMV
+from ..sketches.mg import MisraGries
 from ..sketches.tdigest import TDigest
 
 
 def estimate_cardinality(state) -> int:
     sk = _materialize(state)
-    if isinstance(sk, (HyperLogLog, BloomFilter)):
+    if isinstance(sk, (HyperLogLog, BloomFilter, KMV)):
         card = sk.cardinality()
         return int(card) if np.isfinite(card) else -1
     raise TypeError(f"no cardinality estimator for {type(sk).__name__}")
@@ -63,15 +65,51 @@ def intersection_cardinality(a, b) -> float:
     precision estimator; it can go slightly negative for disjoint sets
     and is clamped at 0."""
     sa, sb = _materialize(a), _materialize(b)
+    if isinstance(sa, KMV) and isinstance(sb, KMV):
+        # KMV keeps actual hash samples, so the intersection is estimated
+        # DIRECTLY on the retained sample below min-theta (kmv.py) — error
+        # ~ union/sqrt(k-2), much tighter than inclusion-exclusion when
+        # the overlap is small relative to the operands
+        return sa.intersection_cardinality(sb)
     for s in (sa, sb):
         if not isinstance(s, (HyperLogLog, BloomFilter)):
             raise TypeError(
-                f"intersection_cardinality expects HLL/Bloom states, got {type(s).__name__}"
+                f"intersection_cardinality expects HLL/Bloom/KMV states, got {type(s).__name__}"
             )
     if type(sa) is not type(sb):
         raise TypeError("intersection_cardinality expects two states of the same kind")
     union = sa.copy().merge(sb)
     return max(0.0, float(sa.cardinality()) + float(sb.cardinality()) - float(union.cardinality()))
+
+
+def difference_cardinality(a, b) -> float:
+    """Distinct-count of A \\ B from two KMV states: counted directly on
+    the retained hash samples below min-theta (kmv.py docstring). HLL
+    cannot answer this (inclusion-exclusion gives A-minus-B only via two
+    compounding subtractions); pass KMV states."""
+    sa, sb = _materialize(a), _materialize(b)
+    if not (isinstance(sa, KMV) and isinstance(sb, KMV)):
+        raise TypeError("difference_cardinality expects two KMV states")
+    return sa.difference_cardinality(sb)
+
+
+def heavy_hitters(state, threshold: int | None = None):
+    """Candidate heavy items from a Misra-Gries state: list of
+    (item_hash, est, est + deficit) sorted by est descending. With
+    ``threshold`` only items whose UPPER bound reaches it are returned —
+    the summary guarantees no item with true frequency > state.deficit
+    (a fortiori > n/(k+1)) is missing."""
+    sk = _materialize(state)
+    if not isinstance(sk, MisraGries):
+        raise TypeError("heavy_hitters expects a Misra-Gries state")
+    hashes, ests = sk.candidates()
+    order = np.argsort(ests)[::-1]
+    out = [
+        (int(hashes[i]), int(ests[i]), int(ests[i]) + sk.deficit) for i in order
+    ]
+    if threshold is not None:
+        out = [t for t in out if t[2] >= threshold]
+    return out
 
 
 def _materialize(state):
@@ -113,7 +151,9 @@ def batch_contains(
 
 
 def batch_query_counts(keys_df: DataFrame, key_cols: list[str], state, out_col: str = "est_count") -> DataFrame:
-    """CMS point-frequency estimates for every row of keys_df."""
+    """CMS (or Misra-Gries lower-bound) point-frequency estimates for
+    every row of keys_df (both expose the same vectorized
+    ``query_hashes`` contract)."""
     blob = state if isinstance(state, (bytes, bytearray)) else state.to_bytes()
     bc = keys_df.sparkSession.sparkContext.broadcast(bytes(blob))
 

@@ -12,6 +12,7 @@ decode per group, not per row):
     SELECT pjs_contains(state_member, conv_id)         FROM probes, global_state
     SELECT pjs_quantile(state_len, 0.99)               FROM role_states
     SELECT pjs_merge(a.state, b.state)                 -- pairwise re-merge
+    SELECT pjs_intersection(a.state, b.state)          -- KMV direct / HLL incl-excl
 
 Keys are strings on the SQL surface; a NULL key queries the NULL group
 exactly as the JVM build hashed NULL rows; any other key type raises a
@@ -37,6 +38,8 @@ from ..sketches.cuckoo import CuckooFilter
 from ..sketches.hashing import xxhash64_any
 from ..sketches.hll import HyperLogLog
 from ..sketches.kll import KLL
+from ..sketches.kmv import KMV
+from ..sketches.mg import MisraGries
 from ..sketches.tdigest import TDigest
 
 
@@ -93,7 +96,9 @@ def register_sketch_sql_functions(spark: SparkSession, prefix: str = "pjs_") -> 
     @F.pandas_udf("double")
     def _cardinality(blobs: pd.Series) -> pd.Series:
         def est(sk):
-            return float(_expect(sk, (HyperLogLog, BloomFilter), "pjs_cardinality").cardinality())
+            return float(
+                _expect(sk, (HyperLogLog, BloomFilter, KMV), "pjs_cardinality").cardinality()
+            )
 
         # nullable Float64: a NULL blob yields SQL NULL (a plain float64
         # series would turn None into NaN, which Spark orders above every
@@ -103,7 +108,9 @@ def register_sketch_sql_functions(spark: SparkSession, prefix: str = "pjs_") -> 
     @F.pandas_udf("long")
     def _count(blobs: pd.Series, keys: pd.Series) -> pd.Series:
         def q(sk, key):
-            _expect(sk, CountMinSketch, "pjs_count")
+            # CMS never under-counts; a Misra-Gries state answers the same
+            # point query as a lower bound (est <= true <= est + deficit)
+            _expect(sk, (CountMinSketch, MisraGries), "pjs_count")
             return int(sk.query_hashes(np.array([xxhash64_any(_sql_key(key))], dtype=np.uint64))[0])
 
         # nullable Int64: a NULL state blob yields NULL, not a crash
@@ -136,6 +143,18 @@ def register_sketch_sql_functions(spark: SparkSession, prefix: str = "pjs_") -> 
             ]
         )
 
+    @F.pandas_udf("double")
+    def _intersection(a: pd.Series, b: pd.Series) -> pd.Series:
+        from . import intersection_cardinality
+
+        out = []
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                out.append(None)
+            else:
+                out.append(float(intersection_cardinality(bytes(x), bytes(y))))
+        return pd.Series(out, dtype="Float64")
+
     names = []
     for name, udf in (
         ("cardinality", _cardinality),
@@ -143,6 +162,7 @@ def register_sketch_sql_functions(spark: SparkSession, prefix: str = "pjs_") -> 
         ("contains", _contains),
         ("quantile", _quantile),
         ("merge", _merge),
+        ("intersection", _intersection),
     ):
         spark.udf.register(prefix + name, udf)
         names.append(prefix + name)

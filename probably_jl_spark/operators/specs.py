@@ -23,11 +23,13 @@ from ..sketches.cms import CountMinSketch
 from ..sketches.cuckoo import CuckooFilter, CuckooOverflowError
 from ..sketches.hll import HyperLogLog
 from ..sketches.kll import KLL
+from ..sketches.kmv import KMV
+from ..sketches.mg import MisraGries
 from ..sketches.tdigest import TDigest
 from ..sketches import codec
 
-KINDS = ("hll", "cms", "bloom", "cuckoo", "smallcuckoo", "tdigest", "kll")
-_HASH_KINDS = ("hll", "cms", "bloom", "cuckoo", "smallcuckoo")
+KINDS = ("hll", "cms", "bloom", "cuckoo", "smallcuckoo", "tdigest", "kll", "kmv", "mg")
+_HASH_KINDS = ("hll", "cms", "bloom", "cuckoo", "smallcuckoo", "kmv", "mg")
 
 
 @dataclass(frozen=True)
@@ -87,12 +89,16 @@ class SketchSpec:
             return klass(p.get("len", 1 << 16), p.get("f", 12))
         if self.kind == "tdigest":
             return TDigest(p.get("delta", 200.0))
+        if self.kind == "kmv":
+            return KMV(p.get("k", 1024))
+        if self.kind == "mg":
+            return MisraGries(p.get("k", 256))
         return KLL(p.get("k", 200))
 
     def update(self, sketch, h: np.ndarray | None, values: np.ndarray | None, counts: np.ndarray | None):
         if self.kind in ("tdigest", "kll"):
             sketch.update_values(values)
-        elif self.kind == "cms":
+        elif self.kind in ("cms", "mg"):
             sketch.update_hashes(h, counts)
         else:
             ok = sketch.update_hashes(h)
@@ -116,6 +122,8 @@ _DECODERS = {
     codec.KIND_CUCKOO: CuckooFilter.from_bytes,
     codec.KIND_TDIGEST: TDigest.from_bytes,
     codec.KIND_KLL: KLL.from_bytes,
+    codec.KIND_KMV: KMV.from_bytes,
+    codec.KIND_MG: MisraGries.from_bytes,
 }
 
 

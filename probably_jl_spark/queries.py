@@ -369,6 +369,96 @@ def hll_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bool_row(spark, exact_intersection=exact, hll_within_bound=ok)
 
 
+def kmv_distinct_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct estimate (kmv.py, Beyer et al. SIGMOD 2007): exact
+    while |distinct| < k (sf0.001: 150 < 256), unbiased (k-1)/theta above
+    (sf0.01: 1500), gated at 3x the published RSE 1/sqrt(k-2)."""
+    from .sketches.kmv import KMV
+
+    ords = _t(spark, sf_dir, "orders")
+    res = sketch_table(
+        ords, [SketchSpec("d", "kmv", key_cols=("o_custkey",), params={"k": 256})]
+    )
+    est = res.sketches["d"].cardinality()
+    exact = ords.select("o_custkey").distinct().count()
+    ok = abs(est - exact) <= 3 * KMV.relative_std_error(256) * exact + 1
+    return _bool_row(spark, exact_distinct=exact, kmv_within_bound=ok)
+
+
+def kmv_segment_overlap_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-style set algebra on two KMV states (kmv.py docstring):
+    customers with an even-orderkey order vs a multiple-of-3-orderkey
+    order — intersection / difference / union estimated directly on the
+    retained hash samples below min-theta, each vs its exact answer.
+    Set-op error scales with union/sqrt(k-2) (EDBT 2016), gated at 3x."""
+    from .sketches.kmv import KMV
+
+    k = 512
+    ords = _t(spark, sf_dir, "orders")
+    seg_a = ords.filter(F.col("o_orderkey") % 2 == 0)
+    seg_b = ords.filter(F.col("o_orderkey") % 3 == 0)
+    spec = [SketchSpec("d", "kmv", key_cols=("o_custkey",), params={"k": k})]
+    ka = sketch_table(seg_a, spec).sketches["d"]
+    kb = sketch_table(seg_b, spec).sketches["d"]
+
+    a_ids = seg_a.select("o_custkey").distinct()
+    b_ids = seg_b.select("o_custkey").distinct()
+    exact_inter = a_ids.intersect(b_ids).count()
+    exact_diff = a_ids.subtract(b_ids).count()
+    exact_union = a_ids.union(b_ids).distinct().count()
+
+    tol = 3 * exact_union / math.sqrt(k - 2) + 1
+    ok_i = abs(ka.intersection_cardinality(kb) - exact_inter) <= tol
+    ok_d = abs(ka.difference_cardinality(kb) - exact_diff) <= tol
+    ok_u = abs(ka.union_cardinality(kb) - exact_union) <= 3 * KMV.relative_std_error(k) * exact_union + 1
+    return _bool_row(
+        spark,
+        exact_intersection=exact_inter,
+        exact_difference=exact_diff,
+        kmv_inter_within_bound=ok_i,
+        kmv_diff_within_bound=ok_d,
+        kmv_union_within_bound=ok_u,
+    )
+
+
+def mg_heavy_hitters_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters (mg.py) over a deterministically skewed
+    key — the decimal digit count of l_partkey (frequencies ~9 : 90 : 900
+    : ... of the key domain), derivable identically in Spark and DuckDB
+    with pure integer/string ops (no float log hazards). k=3 counters
+    over 4 distinct keys at sf0.01 forces real decrements. One row per
+    TRUE heavy hitter (exact count > n/(k+1)); the row set itself checks
+    completeness — a heavy item evicted from the summary would emit
+    est=0, fail the deficit bound, and hash-mismatch the oracle."""
+    k = 3
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "hh_key", F.length(F.col("l_partkey").cast("string")).cast("long")
+    )
+    res = sketch_table(li, [SketchSpec("h", "mg", key_cols=("hh_key",), params={"k": k})])
+    mg = res.sketches["h"]
+    n = res.n_rows
+    invariant = mg.deficit * (k + 1) <= n - int(mg.counts.sum())
+    exact = li.groupBy("hh_key").count().collect()
+    rows = []
+    for r in sorted(exact, key=lambda x: x["hh_key"]):
+        if r["count"] > n / (k + 1):
+            est = mg.query(int(r["hh_key"]))
+            rows.append(
+                (
+                    int(r["hh_key"]),
+                    int(r["count"]),
+                    est <= r["count"],
+                    r["count"] <= est + mg.deficit,
+                    bool(invariant),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "hh_key bigint, exact_cnt bigint, mg_le_exact boolean, "
+        "mg_within_deficit boolean, mg_deficit_invariant boolean",
+    )
+
+
 def sql_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL surface (functions/sql.py): a grouped sketch-state table is
     queried from pure spark.sql via the registered pjs_* estimator UDFs;
@@ -486,6 +576,9 @@ def sketch_queries() -> dict:
         "kll_nchars_quantiles": kll_nchars_quantiles,
         "latency_quantiles": latency_quantiles,
         "hll_intersection_users": hll_intersection_users,
+        "kmv_distinct_custkey": kmv_distinct_custkey,
+        "kmv_segment_overlap_custkey": kmv_segment_overlap_custkey,
+        "mg_heavy_hitters_lineitem": mg_heavy_hitters_lineitem,
         "sql_estimators": sql_estimators,
         "merge_laws": merge_laws,
     }
@@ -549,6 +642,34 @@ def sketch_oracles() -> dict:
             "SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection, TRUE AS hll_within_bound "
             "FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'click' "
             "INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type = 'error')"
+        ),
+        "kmv_distinct_custkey": (
+            "SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct, "
+            "TRUE AS kmv_within_bound FROM orders"
+        ),
+        "kmv_segment_overlap_custkey": (
+            "SELECT "
+            "CAST((SELECT COUNT(*) FROM ("
+            " SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 0"
+            " INTERSECT"
+            " SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 3 = 0)) AS BIGINT)"
+            " AS exact_intersection, "
+            "CAST((SELECT COUNT(*) FROM ("
+            " SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 0"
+            " EXCEPT"
+            " SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 3 = 0)) AS BIGINT)"
+            " AS exact_difference, "
+            "TRUE AS kmv_inter_within_bound, TRUE AS kmv_diff_within_bound, "
+            "TRUE AS kmv_union_within_bound"
+        ),
+        "mg_heavy_hitters_lineitem": (
+            "SELECT CAST(LENGTH(CAST(l_partkey AS VARCHAR)) AS BIGINT) AS hh_key, "
+            "CAST(COUNT(*) AS BIGINT) AS exact_cnt, "
+            "TRUE AS mg_le_exact, TRUE AS mg_within_deficit, "
+            "TRUE AS mg_deficit_invariant "
+            "FROM lineitem GROUP BY hh_key "
+            "HAVING COUNT(*) > (SELECT COUNT(*) FROM lineitem) / 4.0 "
+            "ORDER BY hh_key"
         ),
         "sql_estimators": (
             "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct, "

@@ -22,6 +22,8 @@ KIND_BLOOM = 3
 KIND_CUCKOO = 4
 KIND_TDIGEST = 5
 KIND_KLL = 6
+KIND_KMV = 7
+KIND_MG = 8
 
 _PREFIX = struct.Struct("<4sBBH")
 

@@ -1,0 +1,192 @@
+"""KMV — k-minimum-values distinct sketch with theta-style set algebra.
+[NEW: not in the reference repo]
+
+Derived from published work only: K. Beyer, P. J. Haas, B. Reinwald,
+Y. Sismanis, R. Gemulla, "On Synopses for Distinct-Value Estimation Under
+Multiset Operations" (SIGMOD 2007) — the unbiased (k-1)/U_(k) estimator
+and its RSE ~ 1/sqrt(k-2) — and A. Dasgupta, K. Lang, L. Rhodes,
+J. Thaler, "A Framework for Estimating Stream Expression Cardinalities"
+(EDBT 2016) — the theta-sketch view that makes intersection / difference
+estimates well-defined across sketches with different thresholds.
+
+Why next to HLL (SURVEY.md §2.5 rationale): HLL answers union-only
+cardinality; intersections go through inclusion-exclusion whose absolute
+error scales with the SUM of the three estimates
+(functions.intersection_cardinality). A KMV sketch keeps actual hash
+samples, so `A ∩ B` and `A \\ B` are estimated directly on the retained
+sample below theta = min(theta_A, theta_B) with error proportional to
+1/sqrt(k) of the UNION — tighter whenever the intersection is small
+relative to the operands, the common shape for segment-overlap questions
+at 10^12-turn scale.
+
+State: the k smallest DISTINCT uint64 item hashes seen, sorted ascending
+(≤ 8k bytes). The item hash is the same Spark-side ``xxhash64`` every
+other sketch here consumes, treated as uniform on [0, 2^64).
+
+* update: ``np.unique`` on the batch, threshold filter, merge-sorted
+  union — fully vectorized, no per-row Python;
+* estimate: exact |state| while the sketch holds < k hashes (it has seen
+  every distinct hash), else (k-1) / theta with
+  theta = U_(k) / 2^64 (Beyer et al. §4.2, unbiased);
+* merge: set union keeping the k smallest — commutative, associative and
+  BYTE-exact (unlike KLL/t-digest there is no merge-order sensitivity),
+  hence treeReduce/checkpoint-resume safe with no alignment machinery;
+* set ops: retain both sides' hashes below theta = min(theta_A, theta_B);
+  |retained ∩| / theta estimates the intersection (EDBT 2016 §2).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from . import codec
+
+_HDR = struct.Struct("<II")  # k, count
+_TWO64 = float(1 << 64)
+
+
+class KMV:
+    __slots__ = ("k", "mins")
+
+    def __init__(self, k: int = 1024, mins: np.ndarray | None = None):
+        if k < 16:
+            raise ValueError("k must be >= 16")
+        self.k = int(k)
+        if mins is None:
+            mins = np.empty(0, dtype=np.uint64)
+        if mins.dtype != np.uint64:
+            raise ValueError("mins must be uint64")
+        self.mins = mins
+
+    # ------------------------------------------------------------- update
+    def update_hashes(self, h: np.ndarray) -> None:
+        """Fold a batch of uint64 item hashes into the k-min set.
+        Batch-split independent: the state is a pure function of the SET
+        of hashes seen, so any slicing (Arrow batches, partitions,
+        resume points) yields identical bytes."""
+        if h.size == 0:
+            return
+        h = h.astype(np.uint64, copy=False)
+        if self.mins.size == self.k:
+            # only candidates strictly below the current k-th minimum can
+            # enter; the O(n) filter runs BEFORE the O(n log n) unique so
+            # steady-state batches sort only the (tiny) survivor set
+            h = h[h < self.mins[-1]]
+            if h.size == 0:
+                return
+        hs = np.unique(h)
+        merged = np.union1d(self.mins, hs)
+        self.mins = merged[: self.k]
+
+    # -------------------------------------------------------------- query
+    def _theta_raw(self) -> int:
+        """Exclusive retention bound as a raw hash value: hashes < theta
+        are the retained sample. 2^64 (= keep everything) while the
+        sketch is not yet full; else the k-th minimum U_(k)."""
+        if self.mins.size < self.k:
+            return 1 << 64
+        return int(self.mins[-1])
+
+    def _retained(self, bound: int) -> np.ndarray:
+        if bound >= (1 << 64):
+            return self.mins
+        return self.mins[self.mins < np.uint64(bound)]
+
+    def cardinality(self) -> float:
+        """Distinct estimate: exact below k, else the unbiased
+        (k-1)/theta (Beyer et al. 2007 §4.2)."""
+        if self.mins.size < self.k:
+            return float(self.mins.size)
+        theta = self._theta_raw() / _TWO64
+        if theta == 0.0:
+            return 0.0
+        return (self.k - 1) / theta
+
+    estimate = cardinality
+
+    @staticmethod
+    def relative_std_error(k: int) -> float:
+        """RSE of the full-sketch estimator ~ 1/sqrt(k-2)
+        (Beyer et al. 2007, Theorem 1)."""
+        return 1.0 / math.sqrt(k - 2)
+
+    # ------------------------------------------------------------ set ops
+    def _pairwise(self, other: "KMV") -> tuple[np.ndarray, np.ndarray, float]:
+        bound = min(self._theta_raw(), other._theta_raw())
+        return self._retained(bound), other._retained(bound), bound / _TWO64
+
+    def union_cardinality(self, other: "KMV") -> float:
+        return self.merge(other).cardinality()
+
+    def intersection_cardinality(self, other: "KMV") -> float:
+        """|A ∩ B| ≈ |{retained hashes below min-theta present in both}|
+        / theta (theta framework, EDBT 2016 §2). Exact (up to 64-bit hash
+        collisions) when both sketches are below capacity."""
+        a, b, theta = self._pairwise(other)
+        if theta == 0.0:
+            return 0.0
+        inter = np.intersect1d(a, b, assume_unique=True)
+        return inter.size / theta
+
+    def difference_cardinality(self, other: "KMV") -> float:
+        """|A \\ B| ≈ |retained(A) below min-theta not in B| / theta."""
+        a, b, theta = self._pairwise(other)
+        if theta == 0.0:
+            return 0.0
+        diff = np.setdiff1d(a, b, assume_unique=True)
+        return diff.size / theta
+
+    def jaccard(self, other: "KMV") -> float:
+        a, b, _ = self._pairwise(other)
+        u = np.union1d(a, b).size
+        if u == 0:
+            return 0.0
+        return np.intersect1d(a, b, assume_unique=True).size / u
+
+    # -------------------------------------------------------------- merge
+    def merge(self, other: "KMV") -> "KMV":
+        """Set union keeping the k smallest. Commutative + associative
+        with BYTE-exact states (treeReduce order never matters)."""
+        if not isinstance(other, KMV) or other.k != self.k:
+            raise ValueError("can only merge KMV sketches with equal k")
+        merged = np.union1d(self.mins, other.mins)
+        return KMV(self.k, merged[: self.k])
+
+    # -------------------------------------------------------- bookkeeping
+    def is_empty(self) -> bool:
+        return self.mins.size == 0
+
+    def empty(self) -> None:
+        self.mins = np.empty(0, dtype=np.uint64)
+
+    def copy(self) -> "KMV":
+        return KMV(self.k, self.mins.copy())
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, KMV)
+            and self.k == other.k
+            and self.mins.size == other.mins.size
+            and bool(np.all(self.mins == other.mins))
+        )
+
+    def __hash__(self):
+        return hash((self.k, self.mins.size))
+
+    def __sizeof__(self) -> int:
+        return 8 + self.mins.nbytes
+
+    # ---------------------------------------------------------------- io
+    def to_bytes(self) -> bytes:
+        hdr = _HDR.pack(self.k, self.mins.size)
+        return codec.wrap(codec.KIND_KMV, hdr, self.mins.tobytes())
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "KMV":
+        header, payload = codec.unwrap(data, codec.KIND_KMV)
+        k, count = _HDR.unpack(header)
+        mins = np.frombuffer(payload[: 8 * count], dtype=np.uint64).copy()
+        return cls(k, mins)

@@ -26,6 +26,8 @@ SPECS = [
     SketchSpec("user_member", "bloom", key_cols=("user_id",), params={"m": 1 << 16, "k": 5}),
     SketchSpec("value_td", "tdigest", value_col="value"),
     SketchSpec("value_kll", "kll", value_col="value"),
+    SketchSpec("users_kmv", "kmv", key_cols=("user_id",), params={"k": 64}),
+    SketchSpec("user_heavy", "mg", key_cols=("user_id",), params={"k": 16}),
 ]
 
 
@@ -55,9 +57,22 @@ def test_distributed_equals_local(spark, events):
     local["user_type"].update_hashes(hut)
     local["type_freq"].update_hashes(ht)
     local["user_member"].update_hashes(hu)
+    local["users_kmv"].update_hashes(hu)
 
-    for name in ("users", "user_type", "type_freq", "user_member"):
+    # KMV is a pure function of the hash SET, so it joins the byte-exact
+    # club regardless of partitioning/merge order
+    for name in ("users", "user_type", "type_freq", "user_member", "users_kmv"):
         assert result.sketches[name].to_bytes() == local[name].to_bytes(), name
+
+    # Misra-Gries states depend on the partition split (like KLL/t-digest);
+    # the merged result must still satisfy all published bounds
+    mg = result.sketches["user_heavy"]
+    uids, true_counts = np.unique(rows["hu"].to_numpy(dtype=np.int64).view(np.uint64), return_counts=True)
+    assert mg.n == len(rows)
+    assert mg.deficit * (mg.k + 1) <= mg.n - int(mg.counts.sum())
+    ests = mg.query_hashes(uids)
+    assert np.all(ests <= true_counts)
+    assert np.all(true_counts <= ests.astype(np.int64) + mg.deficit)
 
     exact_users = events.select("user_id").distinct().count()
     est = result.sketches["users"].cardinality()
@@ -271,24 +286,45 @@ def test_sql_estimator_functions(spark, events):
         SketchSpec("c", "cms", key_cols=("et",)),
         SketchSpec("b", "bloom", key_cols=("et",), params={"m": 1 << 14, "k": 4}),
         SketchSpec("v", "kll", value_col="value"),
+        SketchSpec("k", "kmv", key_cols=("user_id",), params={"k": 64}),
+        SketchSpec("g", "mg", key_cols=("et",), params={"k": 8}),
     ]
     grouped_sketch(ev, ["event_type"], specs).createOrReplaceTempView("st")
 
     rows = spark.sql(
         "SELECT event_type, pjs_cardinality(state_u) AS card, "
+        "pjs_cardinality(state_k) AS kcard, "
         "pjs_count(state_c, event_type) AS cnt, "
+        "pjs_count(state_g, event_type) AS mg_cnt, "
         "pjs_contains(state_b, event_type) AS member, "
         "pjs_contains(state_b, 'definitely-absent-key') AS absent, "
         "pjs_quantile(state_v, 0.5) AS p50, "
-        "state_u FROM st"
+        "state_u, state_k, state_g FROM st"
     ).collect()
     for r in rows:
         sk = sketch_from_bytes(bytes(r["state_u"]))
         assert r["card"] == sk.cardinality()
+        assert r["kcard"] == sketch_from_bytes(bytes(r["state_k"])).cardinality()
+        mg = sketch_from_bytes(bytes(r["state_g"]))
+        assert r["mg_cnt"] == mg.query(r["event_type"])
+        assert 1 <= r["mg_cnt"] <= r["cnt"]  # MG lower bound <= true <= CMS upper
         assert r["member"] is True  # no false negatives
         assert r["absent"] in (True, False)  # bloom may false-positive, never NULL/crash
         assert r["cnt"] >= 1  # CMS of the group's own key: at least its rows
         assert r["p50"] == r["p50"]  # not NaN
+
+    # KMV direct SQL intersection == python estimator (users in both segments)
+    got = spark.sql(
+        "SELECT pjs_intersection(a.state_k, b.state_k) AS i "
+        "FROM st a JOIN st b ON a.event_type = 'click' AND b.event_type = 'error'"
+    ).collect()[0]["i"]
+    ka, kb = (
+        sketch_from_bytes(
+            bytes(spark.sql(f"SELECT state_k FROM st WHERE event_type = '{t}'").collect()[0][0])
+        )
+        for t in ("click", "error")
+    )
+    assert got == ka.intersection_cardinality(kb)
 
     # pairwise SQL merge == python merge
     merged = spark.sql(
