@@ -65,19 +65,21 @@ def intersection_cardinality(a, b) -> float:
     precision estimator; it can go slightly negative for disjoint sets
     and is clamped at 0."""
     sa, sb = _materialize(a), _materialize(b)
-    if isinstance(sa, KMV) and isinstance(sb, KMV):
+    if type(sa) is not type(sb):
+        raise TypeError(
+            "intersection_cardinality expects two states of the same kind, "
+            f"got {type(sa).__name__} and {type(sb).__name__}"
+        )
+    if isinstance(sa, KMV):
         # KMV keeps actual hash samples, so the intersection is estimated
         # DIRECTLY on the retained sample below min-theta (kmv.py) — error
         # ~ union/sqrt(k-2), much tighter than inclusion-exclusion when
         # the overlap is small relative to the operands
         return sa.intersection_cardinality(sb)
-    for s in (sa, sb):
-        if not isinstance(s, (HyperLogLog, BloomFilter)):
-            raise TypeError(
-                f"intersection_cardinality expects HLL/Bloom/KMV states, got {type(s).__name__}"
-            )
-    if type(sa) is not type(sb):
-        raise TypeError("intersection_cardinality expects two states of the same kind")
+    if not isinstance(sa, (HyperLogLog, BloomFilter)):
+        raise TypeError(
+            f"intersection_cardinality expects HLL/Bloom/KMV states, got {type(sa).__name__}"
+        )
     union = sa.copy().merge(sb)
     return max(0.0, float(sa.cardinality()) + float(sb.cardinality()) - float(union.cardinality()))
 

@@ -524,16 +524,25 @@ def merge_laws(spark: SparkSession, sf_dir: str) -> DataFrame:
         SketchSpec("h", "hll", key_cols=("user_id",)),
         SketchSpec("c", "cms", key_cols=("event_type",)),
         SketchSpec("b", "bloom", key_cols=("user_id",), params={"m": 1 << 16, "k": 4}),
+        SketchSpec("v", "kmv", key_cols=("user_id",), params={"k": 256}),
+        SketchSpec("g", "mg", key_cols=("event_type",), params={"k": 64}),
     ]
     a = sketch_table(ev.repartition(3), specs).sketches
     b = sketch_table(ev.repartition(11), specs).sketches
-    layout_invariant = all(a[n].to_bytes() == b[n].to_bytes() for n in ("h", "c", "b"))
-    merged_ab = a["h"].copy().merge(b["h"])
-    merged_ba = b["h"].copy().merge(a["h"])
-    commutative = merged_ab.to_bytes() == merged_ba.to_bytes()
-    idempotent = a["h"].copy().merge(a["h"]).to_bytes() == a["h"].to_bytes()
+    # KMV joins the byte-exact club: its state is a pure function of the
+    # SET of hashes seen, so layout invariance / commutativity /
+    # idempotence hold byte-for-byte like hll/cms/bloom. MG merge is
+    # order-sensitive by contract (mg.py:34-37), so it joins only the
+    # serialization-roundtrip law.
+    exact = ("h", "c", "b", "v")
+    layout_invariant = all(a[n].to_bytes() == b[n].to_bytes() for n in exact)
+    commutative = all(
+        a[n].copy().merge(b[n]).to_bytes() == b[n].copy().merge(a[n]).to_bytes() for n in ("h", "v")
+    )
+    idempotent = all(a[n].copy().merge(a[n]).to_bytes() == a[n].to_bytes() for n in ("h", "v"))
     roundtrip = all(
-        type(a[n]).from_bytes(a[n].to_bytes()).to_bytes() == a[n].to_bytes() for n in ("h", "c", "b")
+        type(a[n]).from_bytes(a[n].to_bytes()).to_bytes() == a[n].to_bytes()
+        for n in ("h", "c", "b", "v", "g")
     )
     return _bool_row(
         spark,

@@ -119,7 +119,22 @@ class KMV:
         return self._retained(bound), other._retained(bound), bound / _TWO64
 
     def union_cardinality(self, other: "KMV") -> float:
-        return self.merge(other).cardinality()
+        """|A ∪ B|. Equal-k pair: the lossless byte-exact merge's own
+        estimator. Unequal k (the other set ops already accept this —
+        theta semantics are defined across thresholds): the standard
+        theta-sketch union estimate |{retained hashes below min-theta}|
+        / theta (EDBT 2016 §2)."""
+        if not isinstance(other, KMV):
+            raise TypeError("union_cardinality expects a KMV sketch")
+        if other.k == self.k:
+            return self.merge(other).cardinality()
+        a, b, theta = self._pairwise(other)
+        if theta == 0.0:
+            return 0.0
+        u = np.union1d(a, b)
+        if theta >= 1.0:
+            return float(u.size)
+        return u.size / theta
 
     def intersection_cardinality(self, other: "KMV") -> float:
         """|A ∩ B| ≈ |{retained hashes below min-theta present in both}|

@@ -86,7 +86,18 @@ class MisraGries:
         if h.size == 0:
             return
         h = h.astype(np.uint64, copy=False)
-        weights = None if counts is None else counts.astype(np.float64, copy=False)
+        weights = None
+        if counts is not None:
+            weights = counts.astype(np.float64, copy=False)
+            # MG's deterministic est <= true <= est+deficit guarantee only
+            # holds for non-negative integer multiplicities: a negative
+            # weight would wrap through the float64->uint64 cast to a
+            # ~2^64 counter that no trim ever drops, and fractional
+            # weights truncate per-slice so retained mass diverges from n
+            if np.any(weights < 0):
+                raise ValueError("MisraGries counts must be non-negative")
+            if np.any(weights != np.floor(weights)):
+                raise ValueError("MisraGries counts must be integral")
         pos = 0
         while pos < h.size:
             room = _B - (self.n_items % _B)
@@ -102,6 +113,11 @@ class MisraGries:
                 wsum = np.bincount(inv, weights=weights[pos : pos + take])
                 uc = wsum.astype(np.uint64)
                 self.n += int(wsum.sum())
+                # zero-weight entries must not install phantom counters
+                # (they would occupy summary slots and show in candidates)
+                nz = uc > 0
+                if not nz.all():
+                    uh, uc = uh[nz], uc[nz]
             self._absorb(uh, uc)
             self.n_items += int(take)
             pos += take
@@ -109,16 +125,25 @@ class MisraGries:
                 self._trim()
 
     def _absorb(self, uh: np.ndarray, uc: np.ndarray) -> None:
+        """Fold a sorted-unique (hash, count) batch into the (also
+        sorted-unique) counter set. Both sides are pre-sorted, so this is
+        a searchsorted merge — O(n) exact uint64 arithmetic, no re-sort of
+        the combined array on the ingest hot path."""
+        if uh.size == 0:
+            return
         if self.keys.size == 0:
             self.keys, self.counts = uh.copy(), uc.copy()
             return
-        allk = np.concatenate([self.keys, uh])
-        allc = np.concatenate([self.counts, uc])
-        order = np.argsort(allk, kind="stable")
-        allk, allc = allk[order], allc[order]
-        uniq, start = np.unique(allk, return_index=True)
-        self.keys = uniq
-        self.counts = np.add.reduceat(allc, start)
+        idx = np.searchsorted(self.keys, uh)
+        safe = np.minimum(idx, self.keys.size - 1)
+        match = self.keys[safe] == uh
+        hit = idx[match]
+        if hit.size:
+            self.counts[hit] += uc[match]
+        new = ~match
+        if new.any():
+            self.keys = np.insert(self.keys, idx[new], uh[new])
+            self.counts = np.insert(self.counts, idx[new], uc[new])
 
     def _trim(self) -> None:
         """Subtract the (k+1)-th largest count from all counters and drop

@@ -140,3 +140,42 @@ def test_prop_merge_equals_concat(xs):
     # exactness below capacity
     if len(np.unique(h)) < 16:
         assert direct.cardinality() == float(len(np.unique(h)))
+
+
+def test_union_cardinality_unequal_k():
+    """Set-op API is symmetric across unequal-k sketches: union joins
+    intersection/difference/jaccard in accepting them via the theta
+    framework (|retained below min-theta| / theta)."""
+    rng = np.random.default_rng(3)
+    ha = rng.integers(0, 2**64, 5_000, dtype=np.uint64)
+    hb = rng.integers(0, 2**64, 5_000, dtype=np.uint64)
+    a, b = KMV(64), KMV(128)
+    a.update_hashes(ha)
+    b.update_hashes(hb)
+    true = float(np.union1d(ha, hb).size)
+    est = a.union_cardinality(b)
+    assert abs(est - true) / true <= 4.0 / np.sqrt(62)  # ~4σ of RSE(k=64)
+    # below capacity on both sides: exact
+    s, t = KMV(32), KMV(64)
+    s.update_hashes(ha[:10])
+    t.update_hashes(ha[5:20])
+    assert s.union_cardinality(t) == float(np.union1d(ha[:10], ha[5:20]).size)
+    # equal-k path unchanged: the byte-exact merge's own estimator
+    a2 = KMV(64)
+    a2.update_hashes(ha)
+    assert a.union_cardinality(a2) == a.cardinality()
+    with pytest.raises(TypeError):
+        a.union_cardinality("nope")
+
+
+def test_intersection_mixed_kind_error_message():
+    """Mixed sketch kinds get the real diagnosis (mixed kinds), not a
+    self-contradictory 'got KMV' rejection."""
+    from probably_jl_spark.functions import intersection_cardinality
+    from probably_jl_spark.sketches.hll import HyperLogLog
+
+    a = KMV(64)
+    a.update_hashes(_hashes(0, 100))
+    h = HyperLogLog(12)
+    with pytest.raises(TypeError, match="same kind.*KMV.*HyperLogLog"):
+        intersection_cardinality(a, h)

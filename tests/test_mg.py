@@ -144,3 +144,43 @@ def test_prop_laws_any_stream(xs, k):
     _check_laws(mg, _exact(ranks), len(ranks))
     # round-trip
     assert sketch_from_bytes(mg.to_bytes()) == mg
+
+
+def test_weight_validation_and_zero_drop():
+    """Negative/fractional weights are rejected (they would wrap through
+    the float64→uint64 cast into a ~2^64 counter no trim ever drops,
+    permanently breaking est ≤ true); zero weights install no phantom
+    counters."""
+    mg = MisraGries(4)
+    h = xxhash64_long_array(np.arange(5, dtype=np.int64))
+    with pytest.raises(ValueError, match="non-negative"):
+        mg.update_hashes(h, counts=np.array([-1, 1, 1, 1, 1]))
+    with pytest.raises(ValueError, match="integral"):
+        mg.update_hashes(h, counts=np.array([0.5, 1, 1, 1, 1]))
+    # rejected batches must not have mutated the state
+    assert mg.is_empty() and mg.keys.size == 0
+    mg.update_hashes(h[:3], counts=np.array([0, 2, 3]))
+    keys, counts = mg.candidates()
+    assert int(h[0]) not in keys.tolist()  # zero-weight key absent
+    assert mg.n == 5 and counts.sum() == 5
+    assert mg.query_hash(int(h[0])) == 0
+
+
+def test_absorb_matches_double_sort_reference():
+    """The searchsorted O(n) merge in _absorb must agree exactly with the
+    straightforward concatenate-sort-reduceat definition."""
+    rng = np.random.default_rng(11)
+    for _ in range(100):
+        keys = np.unique(rng.integers(0, 120, rng.integers(0, 60)).astype(np.uint64))
+        counts = rng.integers(1, 9, keys.size).astype(np.uint64)
+        uh = np.unique(rng.integers(0, 120, rng.integers(0, 60)).astype(np.uint64))
+        uc = rng.integers(1, 9, uh.size).astype(np.uint64)
+        mg = MisraGries(10_000, keys.copy(), counts.copy())
+        mg._absorb(uh, uc)
+        allk = np.concatenate([keys, uh])
+        allc = np.concatenate([counts, uc])
+        order = np.argsort(allk, kind="stable")
+        uniq, start = np.unique(allk[order], return_index=True)
+        ref_counts = np.add.reduceat(allc[order], start) if allk.size else allc
+        assert np.array_equal(mg.keys, uniq)
+        assert np.array_equal(mg.counts, ref_counts)
