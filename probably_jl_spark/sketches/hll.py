@@ -1,4 +1,5 @@
-"""HyperLogLog with dense 1-byte registers — mergeable cardinality sketch.
+"""HyperLogLog with dense 1-byte registers and a canonical sparse mode —
+mergeable cardinality sketch.
 
 Semantics preserved from the reference (jakobnissen/Probably.jl,
 src/hyperloglog/hyperloglog.jl):
@@ -23,6 +24,26 @@ docstring bound: median 0.5%, <2.5% @99% for 2^10..2^62,
 hyperloglog.jl:20-24). Register *update* semantics are identical, so merge
 laws and serialization behave exactly like the reference.
 
+Sparse mode [NEW — beyond the reference, which is dense-only]: while a
+sketch holds <= m/8 nonzero registers its state is a sorted uint32 array
+of packed ``(register_index << 6) | rho`` entries — a LOSSLESS encoding of
+the same register file (idx <= 2^18 needs 18 bits; rho <= 64-p+1 <= 61
+needs 6), so the estimate, merge laws, and error bound are bit-for-bit
+those of the dense form. The point is the grouped build at high group
+cardinality (north_star: distinct tools per conv_id => ~1e9 groups at
+10^12 turns): a group that saw d distinct items costs ~4d bytes resident
+and on the shuffle wire instead of a fixed 2^p (16 KB at p=14) — the
+same memory-proportionality idea as Google's HLL++ sparse representation
+(Heule, Nunkesser, Hall, "HyperLogLog in Practice", EDBT 2013, §5.3),
+minus the precision-upgrade trick: we keep the SAME p, trading nothing.
+
+Wire format is canonical in the register CONTENT, not the in-memory mode:
+``to_bytes`` emits the sparse v2 encoding iff nonzero registers <= m/8,
+else the dense v1 encoding (byte-identical to the pre-sparse format, so
+old checkpoints still read). Two sketches with equal registers therefore
+serialize identically regardless of how they were built — the layout-
+invariance / commutativity laws (queries.merge_laws) gate this.
+
 All update paths are vectorized numpy over uint64 hash arrays — no
 per-row Python (BASELINE.json input_hint).
 """
@@ -42,10 +63,22 @@ _U = np.uint64
 DEFAULT_P = 14  # reference default: hyperloglog.jl:48
 
 _HDR = struct.Struct("<B")
+_RHO_BITS = np.uint32(6)
+_RHO_MASK = np.uint32(0x3F)
+
+
+def _dedup_max_rho(packed_sorted: np.ndarray) -> np.ndarray:
+    """Keep one entry per register index — the max rho. rho lives in the
+    low 6 bits, so within equal idx the sort already puts max rho last."""
+    ids = packed_sorted >> _RHO_BITS
+    keep = np.empty(packed_sorted.size, dtype=bool)
+    keep[:-1] = ids[:-1] != ids[1:]
+    keep[-1] = True
+    return packed_sorted[keep]
 
 
 class HyperLogLog:
-    __slots__ = ("p", "m", "registers")
+    __slots__ = ("p", "m", "_regs", "_entries")
 
     def __init__(self, p: int = DEFAULT_P, registers: np.ndarray | None = None):
         if not 4 <= p <= 18:  # reference constraint: hyperloglog.jl:39-41
@@ -53,11 +86,52 @@ class HyperLogLog:
         self.p = p
         self.m = 1 << p
         if registers is None:
-            registers = np.zeros(self.m, dtype=np.uint8)
+            self._regs = None
+            self._entries = np.empty(0, dtype=np.uint32)
         else:
             if registers.shape != (self.m,) or registers.dtype != np.uint8:
                 raise ValueError("registers must be uint8 of length 2^p")
-        self.registers = registers
+            self._regs = registers
+            self._entries = None
+
+    # --------------------------------------------------- representation
+    @property
+    def _sparse_max(self) -> int:
+        """Densify above m/8 entries: the sparse wire (4 B/entry) then
+        stays at most half the dense size, with room to spare vs the
+        m/4 break-even."""
+        return self.m >> 3
+
+    @property
+    def is_sparse(self) -> bool:
+        return self._regs is None
+
+    @property
+    def registers(self) -> np.ndarray:
+        """Dense register view (reference semantics). Accessing it on a
+        sparse sketch densifies in place — the WIRE stays canonical in
+        content either way (see module docstring)."""
+        if self._regs is None:
+            self._densify()
+        return self._regs
+
+    def _densify(self) -> None:
+        regs = np.zeros(self.m, dtype=np.uint8)
+        e = self._entries
+        if e.size:
+            regs[(e >> _RHO_BITS).astype(np.int64)] = (e & _RHO_MASK).astype(np.uint8)
+        self._regs, self._entries = regs, None
+
+    def _canonical_entries(self) -> np.ndarray:
+        """Sorted packed (idx<<6|rho) entries for the nonzero registers —
+        the content-canonical form both modes share."""
+        if self._regs is None:
+            return self._entries
+        idx = np.flatnonzero(self._regs)
+        return (idx.astype(np.uint32) << _RHO_BITS) | self._regs[idx].astype(np.uint32)
+
+    def _nonzero(self) -> int:
+        return self._entries.size if self._regs is None else int(np.count_nonzero(self._regs))
 
     # ------------------------------------------------------------- update
     def update_hashes(self, h: np.ndarray) -> None:
@@ -74,10 +148,22 @@ class HyperLogLog:
         guard = _U(1) << _U(64 - self.p)
         rho = trailing_zeros64(h | guard) + np.uint8(1)
         idx = (h >> _U(64 - self.p)).astype(np.int64)
-        # scatter-max via ufunc.at: measured faster than sort-based
-        # segment-max at every batch size now that tz uses frexp (27 vs
-        # 45 ns/row on 64k batches, 2^14 registers)
-        np.maximum.at(self.registers, idx, rho)
+        if self._regs is not None:
+            # scatter-max via ufunc.at: measured faster than sort-based
+            # segment-max at every batch size now that tz uses frexp (27 vs
+            # 45 ns/row on 64k batches, 2^14 registers)
+            np.maximum.at(self._regs, idx, rho)
+            return
+        packed = (idx.astype(np.uint32) << _RHO_BITS) | rho.astype(np.uint32)
+        if self._entries.size:
+            packed = np.concatenate([self._entries, packed])
+        packed.sort()
+        entries = _dedup_max_rho(packed)
+        if entries.size > self._sparse_max:
+            self._entries = entries
+            self._densify()
+        else:
+            self._entries = entries
 
     # -------------------------------------------------------------- merge
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
@@ -85,15 +171,43 @@ class HyperLogLog:
         hyperloglog.jl:68-73; unequal p is an error rather than silent)."""
         if other.p != self.p:
             raise ValueError(f"cannot merge HLL p={self.p} with p={other.p}")
-        np.maximum(self.registers, other.registers, out=self.registers)
+        if self._regs is None and other._regs is None:
+            combined = np.concatenate([self._entries, other._entries])
+            combined.sort()
+            entries = _dedup_max_rho(combined) if combined.size else combined
+            if entries.size > self._sparse_max:
+                self._entries = entries
+                self._densify()
+            else:
+                self._entries = entries
+            return self
+        if self._regs is None:
+            self._densify()
+        if other._regs is not None:
+            np.maximum(self._regs, other._regs, out=self._regs)
+        else:
+            e = other._entries
+            if e.size:
+                np.maximum.at(
+                    self._regs,
+                    (e >> _RHO_BITS).astype(np.int64),
+                    (e & _RHO_MASK).astype(np.uint8),
+                )
         return self
 
     # ----------------------------------------------------------- estimate
     def estimate(self) -> float:
-        """Ertl improved raw estimator (arXiv:1702.01284 Alg. 6)."""
+        """Ertl improved raw estimator (arXiv:1702.01284 Alg. 6). Sparse
+        mode feeds the identical register histogram (zeros = m - entries),
+        so the two modes estimate bit-for-bit equally."""
         m = float(self.m)
         q = 64 - self.p  # max register value is q+1
-        counts = np.bincount(self.registers, minlength=q + 2).astype(np.float64)
+        if self._regs is None:
+            rhos = (self._entries & _RHO_MASK).astype(np.uint8)
+            counts = np.bincount(rhos, minlength=q + 2).astype(np.float64)
+            counts[0] = m - self._entries.size
+        else:
+            counts = np.bincount(self._regs, minlength=q + 2).astype(np.float64)
         z = m * _tau(1.0 - counts[q + 1] / m)
         for k in range(q, 0, -1):
             z = 0.5 * (z + counts[k])
@@ -112,37 +226,62 @@ class HyperLogLog:
 
     # -------------------------------------------------------- bookkeeping
     def is_empty(self) -> bool:
-        return not self.registers.any()
+        return self._entries.size == 0 if self._regs is None else not self._regs.any()
 
     def clear(self) -> None:
-        self.registers.fill(0)
+        self._regs = None
+        self._entries = np.empty(0, dtype=np.uint32)
 
     def copy(self) -> "HyperLogLog":
-        return HyperLogLog(self.p, self.registers.copy())
+        if self._regs is not None:
+            return HyperLogLog(self.p, self._regs.copy())
+        out = HyperLogLog(self.p)
+        out._entries = self._entries.copy()
+        return out
 
     def __eq__(self, other) -> bool:
         return (
             isinstance(other, HyperLogLog)
             and self.p == other.p
-            and bool(np.array_equal(self.registers, other.registers))
+            and bool(np.array_equal(self._canonical_entries(), other._canonical_entries()))
         )
 
     def __hash__(self):
-        return hash((self.p, self.registers.tobytes()))
+        return hash((self.p, self._canonical_entries().tobytes()))
 
     def sizeof(self) -> int:
-        return self.m  # one byte per register (hyperloglog.jl:53)
+        """Resident bytes: one per register dense (hyperloglog.jl:53),
+        4 per nonzero register sparse."""
+        return self.m if self._regs is not None else 4 * self._entries.size
 
     # ---------------------------------------------------------------- io
     def to_bytes(self) -> bytes:
-        return codec.wrap(codec.KIND_HLL, _HDR.pack(self.p), self.registers.tobytes())
+        """Canonical in register content: sparse v2 iff nonzero <= m/8,
+        else dense v1 (byte-identical to the pre-sparse wire)."""
+        if self._nonzero() <= self._sparse_max:
+            return codec.wrap(
+                codec.KIND_HLL,
+                _HDR.pack(self.p),
+                self._canonical_entries().astype("<u4", copy=False).tobytes(),
+                version=2,
+            )
+        if self._regs is None:  # sparse over threshold only via ctor edge
+            self._densify()
+        return codec.wrap(codec.KIND_HLL, _HDR.pack(self.p), self._regs.tobytes())
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "HyperLogLog":
-        header, payload = codec.unwrap(data, codec.KIND_HLL)
+        version = codec.peek_version(data)
+        header, payload = codec.unwrap(data, codec.KIND_HLL, expected_version=version)
         (p,) = _HDR.unpack(header)
-        regs = np.frombuffer(payload, dtype=np.uint8).copy()
-        return cls(p, regs)
+        if version == 2:
+            out = cls(p)
+            out._entries = np.frombuffer(payload, dtype="<u4").astype(np.uint32)
+            return out
+        if version == 1:
+            regs = np.frombuffer(payload, dtype=np.uint8).copy()
+            return cls(p, regs)
+        raise ValueError(f"unknown HLL wire version {version}")
 
     @staticmethod
     def error_bound(p: int = DEFAULT_P) -> float:

@@ -19,11 +19,14 @@ def test_param_validation():
 
 def test_sizeof_and_empty():
     h = HyperLogLog(14)
-    assert h.sizeof() == 2**14
+    assert h.sizeof() == 0  # fresh sketch is sparse: resident-proportional
     assert h.is_empty()
     assert h.cardinality() == 0  # empty => estimate 0 (< 5, test :110-128)
     h.update_hashes(hash_stream(10))
     assert not h.is_empty()
+    assert 0 < h.sizeof() <= 4 * 10  # 4 bytes per nonzero register while sparse
+    h.update_hashes(hash_stream(100_000))
+    assert h.sizeof() == 2**14  # densified: reference layout, 1 B/register
     h.clear()
     assert h.is_empty()
 
@@ -112,3 +115,84 @@ def test_accuracy_bound(n):
     est = h.estimate()
     rel = abs(est - n) / n
     assert rel <= 3 * HyperLogLog.error_bound(14), f"rel err {rel:.4f} at n={n}"
+
+
+# ---------------------------------------------------------- sparse mode
+
+
+def test_sparse_dense_equivalence_exact():
+    """Sparse is a LOSSLESS encoding of the same register file: building
+    sparse-first vs straight into dense registers gives equal states,
+    identical estimates, and identical canonical wire bytes."""
+    s = hash_stream(1_500, seed=3)  # < m/8 distinct registers at p=14
+    sparse = HyperLogLog()
+    sparse.update_hashes(s)
+    assert sparse.is_sparse
+    dense = HyperLogLog(14, np.zeros(1 << 14, dtype=np.uint8))
+    dense.update_hashes(s)
+    assert not dense.is_sparse
+    assert sparse == dense
+    assert sparse.estimate() == dense.estimate()
+    assert sparse.to_bytes() == dense.to_bytes()  # wire canonical in content
+
+
+def test_sparse_wire_is_small_and_roundtrips():
+    h = HyperLogLog()
+    h.update_hashes(hash_stream(100, seed=5))
+    blob = h.to_bytes()
+    assert len(blob) <= 8 + 1 + 4 * 100  # prefix | p | <=4 B/entry, not 16 KB
+    back = HyperLogLog.from_bytes(blob)
+    assert back == h and back.to_bytes() == blob
+    assert back.is_sparse
+
+
+def test_densify_crossing_emits_legacy_dense_wire():
+    """Above m/8 nonzero registers the wire is v1 — byte-identical to the
+    pre-sparse format, so old checkpoints stay readable both directions."""
+    from probably_jl_spark.sketches import codec
+
+    h = HyperLogLog()
+    h.update_hashes(hash_stream(100_000, seed=9))
+    assert not h.is_sparse
+    blob = h.to_bytes()
+    assert codec.peek_version(blob) == 1
+    assert len(blob) == 8 + 1 + (1 << 14)  # prefix | p | registers
+    # hand-build the legacy wire from the registers and compare bytes
+    legacy = codec.wrap(codec.KIND_HLL, bytes([14]), h.registers.tobytes())
+    assert blob == legacy
+    assert HyperLogLog.from_bytes(blob) == h
+
+
+def test_mixed_mode_merges():
+    """All four mode combinations merge to the same state as the
+    one-stream build, including the sparse+sparse overflow densify."""
+    s = hash_stream(60_000, seed=11)
+    ref = HyperLogLog()
+    ref.update_hashes(s)
+    for cut in (500, 1_000, 30_000):
+        a, b = HyperLogLog(), HyperLogLog()
+        a.update_hashes(s[:cut])
+        b.update_hashes(s[cut:])
+        for x, y in ((a.copy(), b.copy()), (b.copy(), a.copy())):
+            merged = x.merge(y)
+            assert merged == ref
+            assert merged.to_bytes() == ref.to_bytes()
+    # sparse+sparse staying sparse
+    a, b = HyperLogLog(), HyperLogLog()
+    a.update_hashes(s[:400])
+    b.update_hashes(s[400:800])
+    assert a.is_sparse and b.is_sparse
+    m = a.copy().merge(b)
+    assert m.is_sparse
+    small_ref = HyperLogLog()
+    small_ref.update_hashes(s[:800])
+    assert m == small_ref and m.to_bytes() == small_ref.to_bytes()
+
+
+def test_registers_property_densifies_lazily():
+    h = HyperLogLog(4)
+    assert h.is_sparse
+    regs = h.registers  # property access densifies in place
+    assert not h.is_sparse and regs.shape == (16,)
+    regs.fill(3)
+    assert not h.is_empty()
