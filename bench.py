@@ -450,6 +450,22 @@ def run_bench() -> dict:
     ).collect()
     queries["grouped_salted_by_role"] = round(time.perf_counter() - t0, 3)
 
+    # north_star's high-cardinality grouped shape: one HLL state of
+    # distinct tools PER conv_id — output rows ~= N_CONVS (20M at sf0.1).
+    # Runs the all-HLL vectorized route (packed partial builder +
+    # partition-wide register-max merge, operators/grouped.py): per-group
+    # Python only at state emit, states sparse (~4 B/registered tool).
+    t0 = time.perf_counter()
+    n_conv_groups = grouped_sketch(
+        tr,
+        ["conv_id"],
+        [SketchSpec("tools", "hll", key_cols=("tool",))],
+    ).count()
+    g_sec = time.perf_counter() - t0
+    queries["grouped_hll_by_conv"] = round(g_sec, 3)
+    extras["grouped_hll_by_conv_groups"] = n_conv_groups
+    extras["grouped_hll_by_conv_groups_per_sec"] = round(n_conv_groups / g_sec)
+
     # SimHash over >=1M docs (VERDICT r01 next-round #2 evidence): batch
     # fold via JVM token-hash arrays + segment sums — no per-doc Python.
     from probably_jl_spark.operators.dedup import simhash

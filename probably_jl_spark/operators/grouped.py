@@ -121,6 +121,213 @@ def _partial_builder(specs: list[SketchSpec], group_cols: list[str], col_map: di
     return fn
 
 
+def _dedup_max_rho64(packed_sorted: np.ndarray) -> np.ndarray:
+    """One entry per (group, register) key = packed >> 6, keeping max rho
+    (low 6 bits ascend within equal key after the sort)."""
+    keys = packed_sorted >> np.int64(6)
+    keep = np.empty(packed_sorted.size, dtype=bool)
+    keep[:-1] = keys[:-1] != keys[1:]
+    keep[-1] = True
+    return packed_sorted[keep]
+
+
+def _absorb_max(acc: np.ndarray, packed: np.ndarray) -> np.ndarray:
+    """Merge a sorted unique-by-key packed batch into the sorted
+    accumulator, register-max on key collisions — the searchsorted O(n)
+    merge (same shape as sketches/mg.py _absorb, max instead of add)."""
+    if acc.size == 0:
+        return packed
+    ak = acc >> np.int64(6)
+    bk = packed >> np.int64(6)
+    pos = np.searchsorted(ak, bk)
+    safe = np.minimum(pos, ak.size - 1)
+    match = ak[safe] == bk
+    hit = pos[match]
+    if hit.size:
+        # equal key => comparing packed values compares rho directly
+        # (setitem form: acc[hit] fancy-indexes a COPY, so out= would be lost)
+        acc[hit] = np.maximum(acc[hit], packed[match])
+    new = ~match
+    if new.any():
+        acc = np.insert(acc, pos[new], packed[new])
+    return acc
+
+
+_MASK24 = np.int64((1 << 24) - 1)
+
+
+def _emit_hll_rows(
+    specs: list[SketchSpec],
+    group_cols: list[str],
+    ps: dict,
+    keys_index,
+    n_rows: np.ndarray,
+    accs: dict,
+    ord_key: int | None,
+) -> pd.DataFrame:
+    """One output row per group code from the packed accumulators.
+    Per-group Python happens only here (blob wrapping) — cost is
+    proportional to OUTPUT rows, never input rows."""
+    from ..sketches.hll import packed_entries_to_bytes
+
+    n = len(keys_index)
+    if len(group_cols) == 1:
+        out = pd.DataFrame({group_cols[0]: keys_index})
+    else:
+        out = keys_index.to_frame(index=False)
+        out.columns = list(group_cols)
+    if ord_key is not None:
+        out[_ORD_COL] = ord_key
+    out[_NROWS_COL] = n_rows[:n]
+    for s in specs:
+        acc = accs[s.name]
+        bounds = np.searchsorted(acc >> np.int64(24), np.arange(n + 1))
+        p = ps[s.name]
+        out[s.state_col] = [
+            packed_entries_to_bytes(
+                p, (acc[bounds[i] : bounds[i + 1]] & _MASK24).astype(np.uint32)
+            )
+            for i in range(n)
+        ]
+    return out
+
+
+def _group_codes(pdf: pd.DataFrame, group_cols: list[str], keys_index):
+    """(per-row global group codes, updated persistent key index). Batch
+    keys factorize C-level; new keys join the index through one hash-join
+    ``get_indexer`` probe — no per-row Python."""
+    if len(group_cols) == 1:
+        bl_codes, bl_uniques = pdf[group_cols[0]].factorize(use_na_sentinel=False)
+        bl_uniques = pd.Index(bl_uniques)
+    else:
+        mi = pd.MultiIndex.from_frame(pdf[list(group_cols)])
+        bl_codes, bl_uniques = mi.factorize(use_na_sentinel=False)
+    if keys_index is None:
+        return np.asarray(bl_codes, dtype=np.int64), bl_uniques
+    lut = keys_index.get_indexer(bl_uniques)
+    new = lut < 0
+    if new.any():
+        lut[new] = len(keys_index) + np.arange(int(new.sum()), dtype=np.int64)
+        keys_index = keys_index.append(bl_uniques[new])
+    return lut[bl_codes], keys_index
+
+
+def _hll_merge_builder(specs: list[SketchSpec], group_cols: list[str]):
+    """Vectorized per-partition merge of HLL state rows — replaces the
+    per-key ``applyInPandas`` merge for all-HLL spec lists. Partials are
+    hash-repartitioned on the group columns, so each group's rows land in
+    exactly one partition; within the partition every blob decodes to
+    packed entries, prefixed with the group code, and ALL groups merge in
+    one sorted register-max pass. Safe precisely because HLL merge is
+    commutative/idempotent with byte-exact canonical states — row order
+    within the partition cannot matter (order-sensitive kinds like
+    t-digest must keep the ordered applyInPandas path). The per-row blob
+    decode loop runs over STATE rows (one per group per upstream
+    partition), not input rows."""
+    from ..sketches.hll import packed_entries_from_bytes
+
+    ps = {s.name: s.new().p for s in specs}
+
+    def fn(batches):
+        keys_index = None
+        n_rows = np.empty(0, dtype=np.int64)
+        accs = {s.name: np.empty(0, dtype=np.int64) for s in specs}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            g, keys_index = _group_codes(pdf, group_cols, keys_index)
+            if len(keys_index) > n_rows.size:
+                n_rows = np.concatenate(
+                    [n_rows, np.zeros(len(keys_index) - n_rows.size, dtype=np.int64)]
+                )
+            w = pdf[_NROWS_COL].to_numpy(dtype=np.float64)
+            n_rows += np.bincount(g, weights=w, minlength=n_rows.size).astype(np.int64)
+            for s in specs:
+                parts = [
+                    (np.int64(gi) << np.int64(24)) | entries.astype(np.int64)
+                    for gi, (_, entries) in zip(
+                        g, (packed_entries_from_bytes(b) for b in pdf[s.state_col])
+                    )
+                ]
+                packed = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+                if packed.size:
+                    packed.sort()
+                    accs[s.name] = _absorb_max(accs[s.name], _dedup_max_rho64(packed))
+        if keys_index is not None and len(keys_index):
+            yield _emit_hll_rows(specs, group_cols, ps, keys_index, n_rows, accs, None)
+
+    return fn
+
+
+def _hll_partial_builder(specs: list[SketchSpec], group_cols: list[str], col_map: dict, cap: int):
+    """All-HLL fast path for `_partial_builder`: no per-group Python in
+    the batch loop. Each batch factorizes its group keys (C-level), packs
+    ``(group_code << 24) | (register_idx << 6) | rho`` into one int64
+    array per spec (idx needs <= 18 bits at p <= 18, rho <= 61 needs 6),
+    and sorted-merges it into a per-partition accumulator with
+    register-max dedup. Group keys map to stable first-seen codes through
+    a persistent ``pd.Index.get_indexer`` (hash join, C-level). Per-group
+    Python runs ONCE, at emit, to wrap each group's packed entries as a
+    canonical sketch blob — cost proportional to output rows, not input
+    rows. Emitted partials are byte-identical to the generic builder's
+    (same flush points, same canonical wire) — test_grouped_hll_fast_path
+    gates that equivalence.
+
+    Why: the generic dict-of-sketches loop costs ~5-10 us of Python per
+    (group, batch); at the north_star's distinct-tools-per-conv_id shape
+    (~1e6 live groups per partition) that dominates the build. Here the
+    per-batch cost is one sort + one searchsorted merge regardless of
+    group count, and with sparse HLL states (sketches/hll.py) both the
+    accumulator (8 B per nonzero (group, register)) and the shuffled
+    partials (~4 B/register) stay proportional to what the groups
+    actually saw."""
+    from ..sketches.hashing import trailing_zeros64
+
+    ps = {s.name: s.new().p for s in specs}
+
+    def emit(keys_index, n_rows, accs, ord_key) -> pd.DataFrame:
+        return _emit_hll_rows(specs, group_cols, ps, keys_index, n_rows, accs, ord_key)
+
+    def fn(batches):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        flush = 0
+        keys_index = None
+        n_rows = np.empty(0, dtype=np.int64)
+        accs = {s.name: np.empty(0, dtype=np.int64) for s in specs}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arrays = batch_arrays(pdf, specs, col_map)
+            g, keys_index = _group_codes(pdf, group_cols, keys_index)
+            if len(keys_index) > n_rows.size:
+                n_rows = np.concatenate(
+                    [n_rows, np.zeros(len(keys_index) - n_rows.size, dtype=np.int64)]
+                )
+            n_rows += np.bincount(g, minlength=n_rows.size)
+            for s in specs:
+                h = arrays[s.name][0]
+                p = ps[s.name]
+                guard = np.uint64(1 << (64 - p))
+                rho = trailing_zeros64(h | guard).astype(np.int64) + np.int64(1)
+                idx = (h >> np.uint64(64 - p)).astype(np.int64)
+                packed = (g << np.int64(24)) | (idx << np.int64(6)) | rho
+                packed.sort()
+                accs[s.name] = _absorb_max(accs[s.name], _dedup_max_rho64(packed))
+            if len(keys_index) > cap:
+                yield emit(keys_index, n_rows, accs, (pid << 20) | flush)
+                flush += 1
+                keys_index = None
+                n_rows = np.empty(0, dtype=np.int64)
+                accs = {s.name: np.empty(0, dtype=np.int64) for s in specs}
+        if keys_index is not None and len(keys_index):
+            yield emit(keys_index, n_rows, accs, (pid << 20) | flush)
+
+    return fn
+
+
 def _merge_groups(specs: list[SketchSpec], group_cols: list[str], with_ord: bool):
     """applyInPandas fn over state rows: deterministic (partition-ordered)
     per-key merge. Emits `_ORD_COL` = min input ord when feeding another
@@ -172,8 +379,16 @@ def _pre_merge_states(
         except Exception:
             salt_buckets = 1
 
+    # all-HLL spec lists take the vectorized packed-entries path (no
+    # per-group Python per batch; byte-identical partials — see
+    # _hll_partial_builder); mixed kinds use the generic dict builder
+    builder = (
+        _hll_partial_builder
+        if specs and all(s.kind == "hll" for s in specs)
+        else _partial_builder
+    )
     partials = prepared.mapInPandas(
-        _partial_builder(specs, group_cols, col_map, max_states_per_partition),
+        builder(specs, group_cols, col_map, max_states_per_partition),
         schema=_grouped_schema(prepared, group_cols, specs, with_ord=True),
     )
     if salt_buckets > 1:
@@ -206,7 +421,29 @@ def grouped_sketch(
     streaming pass, then only states move. ``salt_buckets=S`` adds a
     pre-merge level on (key, partition mod S) to bound per-key fan-in on
     very wide scans; the default (None) derives S from the scan's
-    partition count so fan-in stays ~256 at any width."""
+    partition count so fan-in stays ~256 at any width.
+
+    All-HLL spec lists take a fully vectorized route instead: the packed
+    partial builder, one hash repartition on the group columns, and a
+    partition-wide register-max merge (`_hll_merge_builder`) — no per-key
+    ``applyInPandas`` and no salt level (the vectorized merge has no
+    per-key fan-in limit, so ``salt_buckets`` is moot there). Same bytes
+    out; the dispatch exists because a billion-group build (north_star:
+    distinct tools per conv_id) is output-bound, not group-loop-bound,
+    on this path."""
+    if specs and all(s.kind == "hll" for s in specs):
+        spec_cols, col_map = plan_columns(specs)
+        prepared = df.select(*[F.col(c) for c in group_cols], *spec_cols)
+        partials = prepared.mapInPandas(
+            _hll_partial_builder(specs, group_cols, col_map, max_states_per_partition),
+            schema=_grouped_schema(prepared, group_cols, specs, with_ord=True),
+        )
+        out_schema = StructType([f for f in partials.schema.fields if f.name != _ORD_COL])
+        return (
+            partials.repartition(*group_cols)
+            .drop(_ORD_COL)
+            .mapInPandas(_hll_merge_builder(specs, group_cols), schema=out_schema)
+        )
     partials = _pre_merge_states(df, group_cols, specs, salt_buckets, max_states_per_partition)
     out_schema = StructType(
         [f for f in partials.schema.fields if f.name != _ORD_COL]

@@ -119,6 +119,40 @@ def hll_grouped_orders_by_supplier(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def hll_grouped_parts_by_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-cardinality grouped build — one group per l_orderkey (~15k at
+    sf0.01, scales with SF): distinct parts per order. Exercises the
+    all-HLL vectorized route (packed partial builder + partition-wide
+    register-max merge, operators/grouped.py::_hll_merge_builder) where
+    output rows ~ input rows / 4. Gate: per-group estimates within
+    max(2, 3sigma*n) of exact — at tiny per-group n the only error source
+    is register collisions (P ~ n^2/2m per group), an ABSOLUTE error of 1
+    per collision, so the relative 1.04/sqrt(m) bound is the wrong model
+    below n ~ sqrt(m); the result is deterministic for fixed data."""
+    li = _t(spark, sf_dir, "lineitem")
+    states = grouped_sketch(
+        li, ["l_orderkey"], [SketchSpec("pk", "hll", key_cols=("l_partkey",))]
+    ).toPandas()
+    exact = {
+        r["l_orderkey"]: r["n"]
+        for r in li.groupBy("l_orderkey").agg(F.countDistinct("l_partkey").alias("n")).collect()
+    }
+    rows = [
+        (
+            int(k),
+            int(exact[k]),
+            bool(
+                abs(sketch_from_bytes(blob).cardinality() - exact[k])
+                <= max(2.0, HLL_BOUND * exact[k])
+            ),
+        )
+        for k, blob in zip(states["l_orderkey"], states["state_pk"])
+    ]
+    return spark.createDataFrame(
+        rows, "l_orderkey bigint, exact_distinct bigint, hll_within_bound boolean"
+    )
+
+
 def hll_vs_spark_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Independent-oracle cross-check (SURVEY.md §4.2): our HLL and Spark's
     built-in approx_count_distinct (HLL++, different registers) must BOTH
@@ -575,6 +609,7 @@ def sketch_queries() -> dict:
         "hll_distinct_custkey": hll_distinct_custkey,
         "hll_grouped_users_by_type": hll_grouped_users_by_type,
         "hll_grouped_orders_by_supplier": hll_grouped_orders_by_supplier,
+        "hll_grouped_parts_by_order": hll_grouped_parts_by_order,
         "hll_vs_spark_builtin": hll_vs_spark_builtin,
         "cms_event_type_freq": cms_event_type_freq,
         "cms_returnflag_linestatus": cms_returnflag_linestatus,
@@ -616,6 +651,11 @@ def sketch_oracles() -> dict:
             "SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey, "
             "CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct, "
             "TRUE AS hll_within_bound FROM lineitem GROUP BY l_suppkey"
+        ),
+        "hll_grouped_parts_by_order": (
+            "SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, "
+            "CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct, "
+            "TRUE AS hll_within_bound FROM lineitem GROUP BY l_orderkey"
         ),
         "hll_vs_spark_builtin": (
             "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct, "

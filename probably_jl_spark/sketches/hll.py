@@ -283,10 +283,51 @@ class HyperLogLog:
             return cls(p, regs)
         raise ValueError(f"unknown HLL wire version {version}")
 
+    @classmethod
+    def from_packed_entries(cls, p: int, entries: np.ndarray) -> "HyperLogLog":
+        """Build from canonical sorted packed (idx<<6|rho) uint32 entries
+        (one per nonzero register, max rho) — the grouped fast path's
+        hand-off (operators/grouped.py)."""
+        out = cls(p)
+        out._entries = entries.astype(np.uint32, copy=False)
+        if out._entries.size > out._sparse_max:
+            out._densify()
+        return out
+
     @staticmethod
     def error_bound(p: int = DEFAULT_P) -> float:
         """Published relative standard error 1.04/sqrt(m)."""
         return 1.04 / math.sqrt(1 << p)
+
+
+def packed_entries_from_bytes(data: bytes) -> tuple[int, np.ndarray]:
+    """(p, sorted packed uint32 entries) from either wire version without
+    constructing a sketch object — the grouped fast-merge path decodes
+    one state blob per partial row through this."""
+    version = codec.peek_version(data)
+    header, payload = codec.unwrap(data, codec.KIND_HLL, expected_version=version)
+    (p,) = _HDR.unpack(header)
+    if version == 2:
+        return p, np.frombuffer(payload, dtype="<u4")
+    if version != 1:
+        raise ValueError(f"unknown HLL wire version {version}")
+    regs = np.frombuffer(payload, dtype=np.uint8)
+    idx = np.flatnonzero(regs)
+    return p, (idx.astype(np.uint32) << _RHO_BITS) | regs[idx].astype(np.uint32)
+
+
+def packed_entries_to_bytes(p: int, entries: np.ndarray) -> bytes:
+    """Canonical wire for a register file given as sorted packed entries,
+    without constructing a sketch object in the common (sparse) case —
+    the grouped fast path emits one blob per group through this."""
+    if entries.size <= (1 << p) >> 3:
+        return codec.wrap(
+            codec.KIND_HLL,
+            _HDR.pack(p),
+            entries.astype("<u4", copy=False).tobytes(),
+            version=2,
+        )
+    return HyperLogLog.from_packed_entries(p, entries).to_bytes()
 
 
 def _sigma(x: float) -> float:

@@ -528,3 +528,98 @@ def test_grouped_auto_salt_bounds_fan_in(spark, events):
         assert abs(a.quantile(0.5) - p.quantile(0.5)) <= 0.05 * max(
             abs(p.quantile(0.5)), 1.0
         )
+
+
+def test_grouped_hll_fast_path_byte_identical(spark, events):
+    """All-HLL spec lists dispatch to the vectorized packed-entries
+    builder + partition-wide register-max merge. Gate: partials AND the
+    final grouped output are byte-identical to the generic dict builder /
+    per-key applyInPandas route, across flush caps, NaN float keys, and
+    multi-column group keys."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from probably_jl_spark.operators.build import plan_columns
+    from probably_jl_spark.operators.grouped import (
+        _ORD_COL,
+        _grouped_schema,
+        _hll_partial_builder,
+        _merge_groups,
+        _partial_builder,
+        _pre_merge_states,
+        grouped_sketch,
+    )
+
+    def generic_route(df, group_cols, specs, cap=1 << 16):
+        pre = _pre_merge_states(df, group_cols, specs, None, cap)
+        out_schema = StructType([f for f in pre.schema.fields if f.name != _ORD_COL])
+        return pre.groupBy(*group_cols).applyInPandas(
+            _merge_groups(specs, group_cols, with_ord=False), schema=out_schema
+        )
+
+    def assert_same(df, group_cols, specs, cap=1 << 16):
+        key = list(group_cols)
+        fast = (
+            grouped_sketch(df, group_cols, specs, max_states_per_partition=cap)
+            .toPandas().sort_values(key, na_position="first").reset_index(drop=True)
+        )
+        gen = (
+            generic_route(df, group_cols, specs, cap)
+            .toPandas().sort_values(key, na_position="first").reset_index(drop=True)
+        )
+        assert len(fast) == len(gen)
+        assert (fast["n_rows"] == gen["n_rows"]).all()
+        for s in specs:
+            assert all(
+                a == b for a, b in zip(fast[s.state_col], gen[s.state_col])
+            ), s.name
+
+    specs = [SketchSpec("u", "hll", key_cols=("user_id",))]
+    assert_same(events.repartition(5), ["event_type"], specs)
+    # tiny flush cap: mid-partition flush points must align byte-exactly
+    assert_same(events.repartition(3), ["user_id"], [
+        SketchSpec("t", "hll", key_cols=("event_type",))
+    ], cap=3)
+    # two HLL specs with different keys and p
+    assert_same(events.repartition(4), ["event_type"], [
+        SketchSpec("a", "hll", key_cols=("user_id",)),
+        SketchSpec("b", "hll", key_cols=("user_id", "event_type"), params={"p": 12}),
+    ])
+    # multi-column group keys
+    assert_same(events.repartition(4), ["event_type", "user_id"], specs)
+    # NaN float group keys collapse to one group, not one per batch/mode
+    nanev = events.withColumn(
+        "fkey",
+        F.when(F.col("user_id") % 3 == 0, F.lit(None).cast("double"))
+        .otherwise((F.col("user_id") % 5).cast("double")),
+    )
+    assert_same(nanev.repartition(4), ["fkey"], specs)
+
+
+def test_grouped_hll_fast_path_dense_partials(spark, events):
+    """A group whose partial crosses m/8 nonzero registers ships a dense
+    v1 blob; the vectorized merge must decode both wire versions. p=6
+    (m=64, densify above 8 entries) forces dense partials on ~150
+    distinct users per group."""
+    from probably_jl_spark.operators.grouped import grouped_sketch
+    from probably_jl_spark.sketches import codec
+    from probably_jl_spark.sketches.hll import HyperLogLog
+
+    specs = [SketchSpec("u", "hll", key_cols=("user_id",), params={"p": 6})]
+    out = (
+        grouped_sketch(events.repartition(3), ["event_type"], specs)
+        .toPandas().set_index("event_type").sort_index()
+    )
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    saw_dense = False
+    for et, row in out.iterrows():
+        blob = row["state_u"]
+        saw_dense |= codec.peek_version(blob) == 1
+        est = HyperLogLog.from_bytes(blob).cardinality()
+        assert abs(est - exact[et]) <= 3 * HyperLogLog.error_bound(6) * exact[et] + 3
+    assert saw_dense  # the dense branch actually exercised
