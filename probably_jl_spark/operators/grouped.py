@@ -121,16 +121,6 @@ def _partial_builder(specs: list[SketchSpec], group_cols: list[str], col_map: di
     return fn
 
 
-def _dedup_max_rho64(packed_sorted: np.ndarray) -> np.ndarray:
-    """One entry per (group, register) key = packed >> 6, keeping max rho
-    (low 6 bits ascend within equal key after the sort)."""
-    keys = packed_sorted >> np.int64(6)
-    keep = np.empty(packed_sorted.size, dtype=bool)
-    keep[:-1] = keys[:-1] != keys[1:]
-    keep[-1] = True
-    return packed_sorted[keep]
-
-
 def _absorb_max(acc: np.ndarray, packed: np.ndarray) -> np.ndarray:
     """Merge a sorted unique-by-key packed batch into the sorted
     accumulator, register-max on key collisions — the searchsorted O(n)
@@ -224,7 +214,7 @@ def _hll_merge_builder(specs: list[SketchSpec], group_cols: list[str]):
     t-digest must keep the ordered applyInPandas path). The per-row blob
     decode loop runs over STATE rows (one per group per upstream
     partition), not input rows."""
-    from ..sketches.hll import packed_entries_from_bytes
+    from ..sketches.hll import _dedup_max_rho, packed_entries_from_bytes
 
     ps = {s.name: s.new().p for s in specs}
 
@@ -240,8 +230,9 @@ def _hll_merge_builder(specs: list[SketchSpec], group_cols: list[str]):
                 n_rows = np.concatenate(
                     [n_rows, np.zeros(len(keys_index) - n_rows.size, dtype=np.int64)]
                 )
-            w = pdf[_NROWS_COL].to_numpy(dtype=np.float64)
-            n_rows += np.bincount(g, weights=w, minlength=n_rows.size).astype(np.int64)
+            # np.add.at keeps the row counts exact int64 (bincount weights
+            # would round past 2^53 — a stated design case for hot keys)
+            np.add.at(n_rows, g, pdf[_NROWS_COL].to_numpy(dtype=np.int64))
             for s in specs:
                 parts = [
                     (np.int64(gi) << np.int64(24)) | entries.astype(np.int64)
@@ -252,7 +243,7 @@ def _hll_merge_builder(specs: list[SketchSpec], group_cols: list[str]):
                 packed = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
                 if packed.size:
                     packed.sort()
-                    accs[s.name] = _absorb_max(accs[s.name], _dedup_max_rho64(packed))
+                    accs[s.name] = _absorb_max(accs[s.name], _dedup_max_rho(packed))
         if keys_index is not None and len(keys_index):
             yield _emit_hll_rows(specs, group_cols, ps, keys_index, n_rows, accs, None)
 
@@ -282,6 +273,7 @@ def _hll_partial_builder(specs: list[SketchSpec], group_cols: list[str], col_map
     partials (~4 B/register) stay proportional to what the groups
     actually saw."""
     from ..sketches.hashing import trailing_zeros64
+    from ..sketches.hll import _dedup_max_rho
 
     ps = {s.name: s.new().p for s in specs}
 
@@ -315,7 +307,7 @@ def _hll_partial_builder(specs: list[SketchSpec], group_cols: list[str], col_map
                 idx = (h >> np.uint64(64 - p)).astype(np.int64)
                 packed = (g << np.int64(24)) | (idx << np.int64(6)) | rho
                 packed.sort()
-                accs[s.name] = _absorb_max(accs[s.name], _dedup_max_rho64(packed))
+                accs[s.name] = _absorb_max(accs[s.name], _dedup_max_rho(packed))
             if len(keys_index) > cap:
                 yield emit(keys_index, n_rows, accs, (pid << 20) | flush)
                 flush += 1
@@ -379,16 +371,8 @@ def _pre_merge_states(
         except Exception:
             salt_buckets = 1
 
-    # all-HLL spec lists take the vectorized packed-entries path (no
-    # per-group Python per batch; byte-identical partials — see
-    # _hll_partial_builder); mixed kinds use the generic dict builder
-    builder = (
-        _hll_partial_builder
-        if specs and all(s.kind == "hll" for s in specs)
-        else _partial_builder
-    )
     partials = prepared.mapInPandas(
-        builder(specs, group_cols, col_map, max_states_per_partition),
+        _partial_builder(specs, group_cols, col_map, max_states_per_partition),
         schema=_grouped_schema(prepared, group_cols, specs, with_ord=True),
     )
     if salt_buckets > 1:

@@ -68,8 +68,11 @@ _RHO_MASK = np.uint32(0x3F)
 
 
 def _dedup_max_rho(packed_sorted: np.ndarray) -> np.ndarray:
-    """Keep one entry per register index — the max rho. rho lives in the
-    low 6 bits, so within equal idx the sort already puts max rho last."""
+    """Keep one entry per key = packed >> 6 — the max rho. rho lives in
+    the low 6 bits, so within equal key the sort already puts max rho
+    last. Shared with the grouped fast path (operators/grouped.py), whose
+    key is (group_code << 18) | register_index. Caller guarantees a
+    non-empty sorted array."""
     ids = packed_sorted >> _RHO_BITS
     keep = np.empty(packed_sorted.size, dtype=bool)
     keep[:-1] = ids[:-1] != ids[1:]

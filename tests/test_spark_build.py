@@ -539,18 +539,17 @@ def test_grouped_hll_fast_path_byte_identical(spark, events):
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
-    from probably_jl_spark.operators.build import plan_columns
     from probably_jl_spark.operators.grouped import (
         _ORD_COL,
-        _grouped_schema,
-        _hll_partial_builder,
         _merge_groups,
-        _partial_builder,
         _pre_merge_states,
         grouped_sketch,
     )
 
     def generic_route(df, group_cols, specs, cap=1 << 16):
+        # _pre_merge_states always uses the generic dict builder (the
+        # all-HLL dispatch lives ONLY in grouped_sketch), so this is a
+        # true independent baseline for the fast path
         pre = _pre_merge_states(df, group_cols, specs, None, cap)
         out_schema = StructType([f for f in pre.schema.fields if f.name != _ORD_COL])
         return pre.groupBy(*group_cols).applyInPandas(
