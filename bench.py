@@ -862,6 +862,18 @@ def write_bench_md(result: dict, history: list[dict]) -> None:
     for qk, qv in result["queries"].items():
         vals = [t[qk] for t in trailing if qk in t]
         lines.append(f"| {qk} | {qv} | {min(vals)} | {max(vals)} |")
+    if "grouped_hll_by_conv_groups" in result:
+        lines += [
+            "",
+            f"Grouped HLL at full key cardinality: "
+            f"{result['grouped_hll_by_conv_groups']:,} per-conversation "
+            f"distinct-tool states in "
+            f"{result['queries']['grouped_hll_by_conv']}s = "
+            f"{result['grouped_hll_by_conv_groups_per_sec']:,} groups/sec "
+            "end-to-end (vectorized packed-entries route, "
+            "operators/grouped.py: per-group Python only at state emit; "
+            "states sparse, ~4 B per observed register).",
+        ]
     if "simhash_docs_per_sec" in result:
         lines += [
             "",
