@@ -26,6 +26,8 @@ estimators in functions/__init__.py).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
@@ -95,15 +97,44 @@ def register_sketch_sql_functions(spark: SparkSession, prefix: str = "pjs_") -> 
 
     @F.pandas_udf("double")
     def _cardinality(blobs: pd.Series) -> pd.Series:
+        from ..sketches import codec
+        from ..sketches.hll import estimate_many
+
         def est(sk):
             return float(
                 _expect(sk, (HyperLogLog, BloomFilter, KMV), "pjs_cardinality").cardinality()
             )
 
+        # HLL blobs — the kind a grouped build returns tens of millions
+        # of — take the whole-batch vectorized Ertl path (estimate_many:
+        # one frombuffer per row, numpy recurrences across the batch,
+        # bit-identical to the scalar estimator); Bloom/KMV keep the
+        # cached per-row path
+        out: list = [None] * len(blobs)
+        hll_pos: list[int] = []
+        hll_blobs: list[bytes] = []
+        other_pos: list[int] = []
+        for i, b in enumerate(blobs):
+            if b is None:
+                continue
+            if codec.peek_kind(bytes(b)) == codec.KIND_HLL:
+                hll_pos.append(i)
+                hll_blobs.append(bytes(b))
+            else:
+                other_pos.append(i)
+        if hll_pos:
+            ests = estimate_many(hll_blobs)
+            # same rounding contract as HyperLogLog.cardinality()
+            for i, e in zip(hll_pos, ests):
+                out[i] = float(round(e)) if math.isfinite(e) else float((1 << 63) - 1)
+        if other_pos:
+            sub = blobs.iloc[other_pos]
+            for i, v in zip(other_pos, _blob_cache(est)(sub)):
+                out[i] = v
         # nullable Float64: a NULL blob yields SQL NULL (a plain float64
         # series would turn None into NaN, which Spark orders above every
         # number — NULL rows would pass numeric filters)
-        return pd.Series(_blob_cache(est)(blobs), dtype="Float64")
+        return pd.Series(out, dtype="Float64")
 
     @F.pandas_udf("long")
     def _count(blobs: pd.Series, keys: pd.Series) -> pd.Series:

@@ -333,6 +333,106 @@ def packed_entries_to_bytes(p: int, entries: np.ndarray) -> bytes:
     return HyperLogLog.from_packed_entries(p, entries).to_bytes()
 
 
+def estimate_many(blobs) -> np.ndarray:
+    """Vectorized Ertl estimates for a sequence of HLL state blobs (both
+    wire versions, mixed p allowed) — the batch path behind the
+    ``pjs_cardinality`` SQL estimator, where a grouped build can hand
+    back tens of millions of state rows and per-row sketch construction
+    (~tens of us each) would dominate the read-out. Per-blob Python here
+    is one ``frombuffer`` decode; the register histograms and the
+    sigma/tau/harmonic recurrences run as whole-batch numpy. Each row is
+    frozen at ITS OWN convergence point, so results are bit-identical to
+    ``HyperLogLog.estimate()`` row by row (tested)."""
+    n = len(blobs)
+    out = np.empty(n, dtype=np.float64)
+    if n == 0:
+        return out
+    # inline decode of the fixed HLL layout (MAGIC|kind|version|hlen=1|p|
+    # payload, codec.py) — ~7x less per-blob overhead than the generic
+    # unwrap; anything that doesn't match the expected prefix falls back
+    # to the validating decoder
+    _prefix_v2 = codec.MAGIC + bytes([codec.KIND_HLL, 2, 1, 0])
+    _prefix_v1 = codec.MAGIC + bytes([codec.KIND_HLL, 1, 1, 0])
+
+    def _decode(b: bytes):
+        pre = b[:8]
+        if pre == _prefix_v2:
+            return b[8], np.frombuffer(b, dtype="<u4", offset=9)
+        if pre == _prefix_v1:
+            regs = np.frombuffer(b, dtype=np.uint8, offset=9)
+            idx = np.flatnonzero(regs)
+            return b[8], (idx.astype(np.uint32) << _RHO_BITS) | regs[idx].astype(np.uint32)
+        return packed_entries_from_bytes(b)
+
+    decoded = [_decode(b) for b in blobs]
+    by_p: dict[int, list[int]] = {}
+    for i, (p, _) in enumerate(decoded):
+        by_p.setdefault(p, []).append(i)
+    for p, rows in by_p.items():
+        m = float(1 << p)
+        q = 64 - p
+        counts = np.zeros((len(rows), q + 2), dtype=np.float64)
+        ent = [decoded[i][1] for i in rows]
+        sizes = np.array([e.size for e in ent], dtype=np.int64)
+        if sizes.sum():
+            rid = np.repeat(np.arange(len(rows)), sizes)
+            rho = (np.concatenate(ent) & _RHO_MASK).astype(np.int64)
+            np.add.at(counts, (rid, rho), 1.0)
+        counts[:, 0] = m - sizes
+        z = m * _tau_arr(1.0 - counts[:, q + 1] / m)
+        for k in range(q, 0, -1):
+            z = 0.5 * (z + counts[:, k])
+        z = z + m * _sigma_arr(counts[:, 0] / m)
+        alpha_inf = 1.0 / (2.0 * math.log(2.0))
+        with np.errstate(divide="ignore"):
+            est = alpha_inf * m * m / z
+        out[rows] = est
+    return out
+
+
+def _sigma_arr(x: np.ndarray) -> np.ndarray:
+    """Elementwise _sigma with per-row convergence freezing: a converged
+    row stops updating at exactly the step the scalar loop would return,
+    so values match the scalar path bit for bit."""
+    x = np.asarray(x, dtype=np.float64).copy()
+    inf_m = x == 1.0
+    y = np.ones_like(x)
+    z = x.copy()
+    active = ~inf_m
+    while active.any():
+        idxs = np.flatnonzero(active)
+        xa = x[idxs] * x[idxs]
+        x[idxs] = xa
+        z_old = z[idxs]
+        z_new = z_old + xa * y[idxs]
+        z[idxs] = z_new
+        y[idxs] *= 2.0
+        active[idxs[z_new == z_old]] = False
+    z[inf_m] = np.inf
+    return z
+
+
+def _tau_arr(x: np.ndarray) -> np.ndarray:
+    """Elementwise _tau with the same per-row convergence freezing."""
+    x = np.asarray(x, dtype=np.float64).copy()
+    zero_m = (x == 0.0) | (x == 1.0)
+    y = np.ones_like(x)
+    z = 1.0 - x
+    active = ~zero_m
+    while active.any():
+        idxs = np.flatnonzero(active)
+        xa = np.sqrt(x[idxs])
+        x[idxs] = xa
+        y[idxs] *= 0.5
+        z_old = z[idxs]
+        z_new = z_old - (1.0 - xa) * (1.0 - xa) * y[idxs]
+        z[idxs] = z_new
+        active[idxs[z_new == z_old]] = False
+    out = z / 3.0
+    out[zero_m] = 0.0
+    return out
+
+
 def _sigma(x: float) -> float:
     """Ertl sigma: x + sum_{k>=1} x^{2^k} * 2^{k-1}; sigma(1)=inf."""
     if x == 1.0:

@@ -196,3 +196,29 @@ def test_registers_property_densifies_lazily():
     assert not h.is_sparse and regs.shape == (16,)
     regs.fill(3)
     assert not h.is_empty()
+
+
+def test_estimate_many_bit_exact_and_mixed():
+    """The batch estimator must equal HyperLogLog.estimate() bit for bit
+    across occupancies, wire versions, and mixed p — each row freezes at
+    its own convergence point exactly like the scalar sigma/tau loops."""
+    from probably_jl_spark.sketches.hll import estimate_many
+
+    rng = np.random.default_rng(13)
+    blobs, scalar = [], []
+    for n, p in [(0, 14), (1, 14), (5, 14), (100, 14), (1_500, 14),
+                 (3_000, 14), (50_000, 14), (10, 8), (300, 8), (7, 4),
+                 (16, 4), (100, 18)]:
+        h = HyperLogLog(p)
+        if n:
+            h.update_hashes(rng.integers(0, 2**64, n, dtype=np.uint64))
+        blobs.append(h.to_bytes())
+        scalar.append(h.estimate())
+    sat = HyperLogLog(4)
+    sat.registers.fill(61)  # saturated: estimate inf
+    blobs.append(sat.to_bytes())
+    scalar.append(sat.estimate())
+    vec = estimate_many(blobs)
+    assert all(
+        (a == b) or (np.isinf(a) and np.isinf(b)) for a, b in zip(vec, scalar)
+    ), list(zip(vec, scalar))
