@@ -250,6 +250,150 @@ def _hll_merge_builder(specs: list[SketchSpec], group_cols: list[str]):
     return fn
 
 
+def _kmv_combine(
+    g_acc: np.ndarray, h_acc: np.ndarray, g: np.ndarray, h: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fold (group, hash) pairs into the per-group k-min accumulator:
+    lexsort by (group, hash), drop duplicate pairs, keep the k smallest
+    hashes per group. Pure set function of the pairs seen — KMV's
+    byte-exact commutative merge — so any batch slicing or merge order
+    yields identical accumulators."""
+    gg = np.concatenate([g_acc, g])
+    hh = np.concatenate([h_acc, h])
+    if gg.size == 0:
+        return gg, hh
+    order = np.lexsort((hh, gg))
+    gg, hh = gg[order], hh[order]
+    keep = np.empty(gg.size, dtype=bool)
+    keep[0] = True
+    keep[1:] = (gg[1:] != gg[:-1]) | (hh[1:] != hh[:-1])
+    gg, hh = gg[keep], hh[keep]
+    # rank within group = position minus the group's first position
+    rank = np.arange(gg.size) - np.searchsorted(gg, gg)
+    sel = rank < k
+    return gg[sel], hh[sel]
+
+
+def _emit_kmv_rows(
+    specs: list[SketchSpec],
+    group_cols: list[str],
+    ks: dict,
+    keys_index,
+    n_rows: np.ndarray,
+    accs: dict,
+    ord_key: int | None,
+) -> pd.DataFrame:
+    from ..sketches.kmv import mins_to_bytes
+
+    n = len(keys_index)
+    if len(group_cols) == 1:
+        out = pd.DataFrame({group_cols[0]: keys_index})
+    else:
+        out = keys_index.to_frame(index=False)
+        out.columns = list(group_cols)
+    if ord_key is not None:
+        out[_ORD_COL] = ord_key
+    out[_NROWS_COL] = n_rows[:n]
+    for s in specs:
+        g_acc, h_acc = accs[s.name]
+        bounds = np.searchsorted(g_acc, np.arange(n + 1))
+        k = ks[s.name]
+        out[s.state_col] = [
+            mins_to_bytes(k, h_acc[bounds[i] : bounds[i + 1]]) for i in range(n)
+        ]
+    return out
+
+
+def _kmv_partial_builder(specs: list[SketchSpec], group_cols: list[str], col_map: dict, cap: int):
+    """All-KMV twin of `_hll_partial_builder`: per-group k-min distinct
+    samples built with no per-group Python in the batch loop. The
+    accumulator is a (group_code int64, hash uint64) pair of arrays in
+    (group, hash) order, capped at k per group each batch (`_kmv_combine`)
+    — unlike HLL's 24-bit payload the 64-bit hash cannot share an int64
+    with the group code, so this path lexsorts the pair instead of
+    sorting one packed array. Partials are byte-identical to the generic
+    dict builder's (same flush points, pure-set state)."""
+    ks = {s.name: s.new().k for s in specs}
+
+    def fn(batches):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        flush = 0
+        keys_index = None
+        n_rows = np.empty(0, dtype=np.int64)
+        accs = {s.name: (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)) for s in specs}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arrays = batch_arrays(pdf, specs, col_map)
+            g, keys_index = _group_codes(pdf, group_cols, keys_index)
+            if len(keys_index) > n_rows.size:
+                n_rows = np.concatenate(
+                    [n_rows, np.zeros(len(keys_index) - n_rows.size, dtype=np.int64)]
+                )
+            n_rows += np.bincount(g, minlength=n_rows.size)
+            for s in specs:
+                h = arrays[s.name][0]
+                g_acc, h_acc = accs[s.name]
+                accs[s.name] = _kmv_combine(g_acc, h_acc, g, h, ks[s.name])
+            if len(keys_index) > cap:
+                yield _emit_kmv_rows(
+                    specs, group_cols, ks, keys_index, n_rows, accs, (pid << 20) | flush
+                )
+                flush += 1
+                keys_index = None
+                n_rows = np.empty(0, dtype=np.int64)
+                accs = {
+                    s.name: (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
+                    for s in specs
+                }
+        if keys_index is not None and len(keys_index):
+            yield _emit_kmv_rows(
+                specs, group_cols, ks, keys_index, n_rows, accs, (pid << 20) | flush
+            )
+
+    return fn
+
+
+def _kmv_merge_builder(specs: list[SketchSpec], group_cols: list[str]):
+    """All-KMV twin of `_hll_merge_builder`: partition-wide k-min merge of
+    state rows after the hash repartition on the group columns. Valid for
+    the same reason as HLL — the state is a pure set function, so row
+    order cannot matter. Per-row Python is one blob decode per STATE row."""
+    from ..sketches.kmv import mins_from_bytes
+
+    ks = {s.name: s.new().k for s in specs}
+
+    def fn(batches):
+        keys_index = None
+        n_rows = np.empty(0, dtype=np.int64)
+        accs = {s.name: (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)) for s in specs}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            g, keys_index = _group_codes(pdf, group_cols, keys_index)
+            if len(keys_index) > n_rows.size:
+                n_rows = np.concatenate(
+                    [n_rows, np.zeros(len(keys_index) - n_rows.size, dtype=np.int64)]
+                )
+            np.add.at(n_rows, g, pdf[_NROWS_COL].to_numpy(dtype=np.int64))
+            for s in specs:
+                decoded = [mins_from_bytes(b)[1] for b in pdf[s.state_col]]
+                sizes = np.array([d.size for d in decoded], dtype=np.int64)
+                if sizes.sum() == 0:
+                    continue
+                gg = np.repeat(g, sizes)
+                hh = np.concatenate(decoded)
+                g_acc, h_acc = accs[s.name]
+                accs[s.name] = _kmv_combine(g_acc, h_acc, gg, hh, ks[s.name])
+        if keys_index is not None and len(keys_index):
+            yield _emit_kmv_rows(specs, group_cols, ks, keys_index, n_rows, accs, None)
+
+    return fn
+
+
 def _hll_partial_builder(specs: list[SketchSpec], group_cols: list[str], col_map: dict, cap: int):
     """All-HLL fast path for `_partial_builder`: no per-group Python in
     the batch loop. Each batch factorizes its group keys (C-level), packs
@@ -415,18 +559,24 @@ def grouped_sketch(
     out; the dispatch exists because a billion-group build (north_star:
     distinct tools per conv_id) is output-bound, not group-loop-bound,
     on this path."""
-    if specs and all(s.kind == "hll" for s in specs):
+    vec_builders = {
+        "hll": (_hll_partial_builder, _hll_merge_builder),
+        "kmv": (_kmv_partial_builder, _kmv_merge_builder),
+    }
+    kinds = {s.kind for s in specs}
+    if len(kinds) == 1 and next(iter(kinds)) in vec_builders:
+        partial_b, merge_b = vec_builders[next(iter(kinds))]
         spec_cols, col_map = plan_columns(specs)
         prepared = df.select(*[F.col(c) for c in group_cols], *spec_cols)
         partials = prepared.mapInPandas(
-            _hll_partial_builder(specs, group_cols, col_map, max_states_per_partition),
+            partial_b(specs, group_cols, col_map, max_states_per_partition),
             schema=_grouped_schema(prepared, group_cols, specs, with_ord=True),
         )
         out_schema = StructType([f for f in partials.schema.fields if f.name != _ORD_COL])
         return (
             partials.repartition(*group_cols)
             .drop(_ORD_COL)
-            .mapInPandas(_hll_merge_builder(specs, group_cols), schema=out_schema)
+            .mapInPandas(merge_b(specs, group_cols), schema=out_schema)
         )
     partials = _pre_merge_states(df, group_cols, specs, salt_buckets, max_states_per_partition)
     out_schema = StructType(

@@ -153,6 +153,24 @@ def hll_grouped_parts_by_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmv_grouped_parts_by_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-cardinality grouped KMV (vectorized (group, hash) k-min route,
+    operators/grouped.py::_kmv_partial_builder): distinct parts per
+    l_orderkey. Per-order distinct counts sit far below k=1024, where a
+    KMV sketch holds EVERY distinct hash — so the oracle demands exact
+    equality of the estimates, not a bound (64-bit hash collisions are
+    the only caveat, deterministic for fixed data)."""
+    li = _t(spark, sf_dir, "lineitem")
+    states = grouped_sketch(
+        li, ["l_orderkey"], [SketchSpec("pk", "kmv", key_cols=("l_partkey",))]
+    ).toPandas()
+    rows = [
+        (int(k), int(sketch_from_bytes(blob).cardinality()))
+        for k, blob in zip(states["l_orderkey"], states["state_pk"])
+    ]
+    return spark.createDataFrame(rows, "l_orderkey bigint, kmv_distinct bigint")
+
+
 def hll_vs_spark_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Independent-oracle cross-check (SURVEY.md §4.2): our HLL and Spark's
     built-in approx_count_distinct (HLL++, different registers) must BOTH
@@ -610,6 +628,7 @@ def sketch_queries() -> dict:
         "hll_grouped_users_by_type": hll_grouped_users_by_type,
         "hll_grouped_orders_by_supplier": hll_grouped_orders_by_supplier,
         "hll_grouped_parts_by_order": hll_grouped_parts_by_order,
+        "kmv_grouped_parts_by_order": kmv_grouped_parts_by_order,
         "hll_vs_spark_builtin": hll_vs_spark_builtin,
         "cms_event_type_freq": cms_event_type_freq,
         "cms_returnflag_linestatus": cms_returnflag_linestatus,
@@ -656,6 +675,11 @@ def sketch_oracles() -> dict:
             "SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, "
             "CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct, "
             "TRUE AS hll_within_bound FROM lineitem GROUP BY l_orderkey"
+        ),
+        "kmv_grouped_parts_by_order": (
+            "SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, "
+            "CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS kmv_distinct "
+            "FROM lineitem GROUP BY l_orderkey"
         ),
         "hll_vs_spark_builtin": (
             "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct, "

@@ -48,6 +48,23 @@ _HDR = struct.Struct("<II")  # k, count
 _TWO64 = float(1 << 64)
 
 
+def mins_to_bytes(k: int, mins: np.ndarray) -> bytes:
+    """Wire bytes for a k-min set given directly as a sorted uint64 array
+    (identical to ``KMV(k, mins).to_bytes()``) — the grouped fast path
+    emits one blob per group through this without object construction."""
+    return codec.wrap(
+        codec.KIND_KMV, _HDR.pack(k, mins.size), mins.astype("<u8", copy=False).tobytes()
+    )
+
+
+def mins_from_bytes(data: bytes) -> tuple[int, np.ndarray]:
+    """(k, sorted uint64 mins) from the wire without object construction
+    — the grouped fast-merge path decodes one blob per state row."""
+    header, payload = codec.unwrap(data, codec.KIND_KMV)
+    k, count = _HDR.unpack(header)
+    return k, np.frombuffer(payload[: 8 * count], dtype="<u8")
+
+
 class KMV:
     __slots__ = ("k", "mins")
 

@@ -622,3 +622,72 @@ def test_grouped_hll_fast_path_dense_partials(spark, events):
         est = HyperLogLog.from_bytes(blob).cardinality()
         assert abs(est - exact[et]) <= 3 * HyperLogLog.error_bound(6) * exact[et] + 3
     assert saw_dense  # the dense branch actually exercised
+
+
+def test_grouped_kmv_fast_path_byte_identical(spark, events):
+    """All-KMV spec lists take the vectorized (group, hash) k-min route;
+    gate: byte-identical to the generic dict builder / per-key
+    applyInPandas route, across flush caps and multi-spec lists, and
+    exact per-group distincts below capacity."""
+    from pyspark.sql.types import StructType
+
+    from probably_jl_spark.operators.grouped import (
+        _ORD_COL,
+        _merge_groups,
+        _pre_merge_states,
+        grouped_sketch,
+    )
+
+    def generic_route(df, group_cols, specs, cap=1 << 16):
+        pre = _pre_merge_states(df, group_cols, specs, None, cap)
+        out_schema = StructType([f for f in pre.schema.fields if f.name != _ORD_COL])
+        return pre.groupBy(*group_cols).applyInPandas(
+            _merge_groups(specs, group_cols, with_ord=False), schema=out_schema
+        )
+
+    def assert_same(df, group_cols, specs, cap=1 << 16):
+        key = list(group_cols)
+        fast = (
+            grouped_sketch(df, group_cols, specs, max_states_per_partition=cap)
+            .toPandas().sort_values(key, na_position="first").reset_index(drop=True)
+        )
+        gen = (
+            generic_route(df, group_cols, specs, cap)
+            .toPandas().sort_values(key, na_position="first").reset_index(drop=True)
+        )
+        assert len(fast) == len(gen)
+        assert (fast["n_rows"] == gen["n_rows"]).all()
+        for s in specs:
+            assert all(a == b for a, b in zip(fast[s.state_col], gen[s.state_col])), s.name
+
+    assert_same(
+        events.repartition(5), ["event_type"],
+        [SketchSpec("u", "kmv", key_cols=("user_id",), params={"k": 64})],
+    )
+    assert_same(
+        events.repartition(3), ["user_id"],
+        [SketchSpec("t", "kmv", key_cols=("event_type",), params={"k": 16})],
+        cap=3,  # mid-partition flushes must align byte-exactly
+    )
+    assert_same(
+        events.repartition(4), ["event_type", "user_id"],
+        [
+            SketchSpec("a", "kmv", key_cols=("user_id",), params={"k": 32}),
+            SketchSpec("b", "kmv", key_cols=("user_id", "event_type"), params={"k": 128}),
+        ],
+    )
+    # below-capacity exactness: per-group distinct users per type
+    out = (
+        grouped_sketch(
+            events, ["event_type"],
+            [SketchSpec("u", "kmv", key_cols=("user_id",), params={"k": 4096})],
+        ).toPandas().set_index("event_type")
+    )
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, row in out.iterrows():
+        assert sketch_from_bytes(row["state_u"]).cardinality() == float(exact[et])
