@@ -117,9 +117,10 @@ def register_sketch_sql_functions(spark: SparkSession, prefix: str = "pjs_") -> 
         for i, b in enumerate(blobs):
             if b is None:
                 continue
-            if codec.peek_kind(bytes(b)) == codec.KIND_HLL:
+            bb = bytes(b)  # materialize once (Arrow hands back bytearray)
+            if codec.peek_kind(bb) == codec.KIND_HLL:
                 hll_pos.append(i)
-                hll_blobs.append(bytes(b))
+                hll_blobs.append(bb)
             else:
                 other_pos.append(i)
         if hll_pos:

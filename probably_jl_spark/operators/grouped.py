@@ -146,42 +146,6 @@ def _absorb_max(acc: np.ndarray, packed: np.ndarray) -> np.ndarray:
 _MASK24 = np.int64((1 << 24) - 1)
 
 
-def _emit_hll_rows(
-    specs: list[SketchSpec],
-    group_cols: list[str],
-    ps: dict,
-    keys_index,
-    n_rows: np.ndarray,
-    accs: dict,
-    ord_key: int | None,
-) -> pd.DataFrame:
-    """One output row per group code from the packed accumulators.
-    Per-group Python happens only here (blob wrapping) — cost is
-    proportional to OUTPUT rows, never input rows."""
-    from ..sketches.hll import packed_entries_to_bytes
-
-    n = len(keys_index)
-    if len(group_cols) == 1:
-        out = pd.DataFrame({group_cols[0]: keys_index})
-    else:
-        out = keys_index.to_frame(index=False)
-        out.columns = list(group_cols)
-    if ord_key is not None:
-        out[_ORD_COL] = ord_key
-    out[_NROWS_COL] = n_rows[:n]
-    for s in specs:
-        acc = accs[s.name]
-        bounds = np.searchsorted(acc >> np.int64(24), np.arange(n + 1))
-        p = ps[s.name]
-        out[s.state_col] = [
-            packed_entries_to_bytes(
-                p, (acc[bounds[i] : bounds[i + 1]] & _MASK24).astype(np.uint32)
-            )
-            for i in range(n)
-        ]
-    return out
-
-
 def _group_codes(pdf: pd.DataFrame, group_cols: list[str], keys_index):
     """(per-row global group codes, updated persistent key index). Batch
     keys factorize C-level; new keys join the index through one hash-join
@@ -202,52 +166,94 @@ def _group_codes(pdf: pd.DataFrame, group_cols: list[str], keys_index):
     return lut[bl_codes], keys_index
 
 
-def _hll_merge_builder(specs: list[SketchSpec], group_cols: list[str]):
-    """Vectorized per-partition merge of HLL state rows — replaces the
-    per-key ``applyInPandas`` merge for all-HLL spec lists. Partials are
-    hash-repartitioned on the group columns, so each group's rows land in
-    exactly one partition; within the partition every blob decodes to
-    packed entries, prefixed with the group code, and ALL groups merge in
-    one sorted register-max pass. Safe precisely because HLL merge is
-    commutative/idempotent with byte-exact canonical states — row order
-    within the partition cannot matter (order-sensitive kinds like
-    t-digest must keep the ordered applyInPandas path). The per-row blob
-    decode loop runs over STATE rows (one per group per upstream
-    partition), not input rows."""
-    from ..sketches.hll import _dedup_max_rho, packed_entries_from_bytes
+class _HllKernel:
+    """Per-kind hooks for the shared vectorized grouped builders
+    (`_vec_partial_builder` / `_vec_merge_builder`). The HLL accumulator
+    is one sorted int64 array of ``(group_code << 24) | (register_idx
+    << 6) | rho`` (idx needs <= 18 bits at p <= 18, rho <= 61 needs 6),
+    merged with register-max dedup — 8 B per nonzero (group, register),
+    so with sparse HLL states (sketches/hll.py) both accumulator and
+    shuffled partials stay proportional to what the groups saw."""
 
-    ps = {s.name: s.new().p for s in specs}
+    def __init__(self, specs: list[SketchSpec]):
+        self.ps = {s.name: s.new().p for s in specs}
 
-    def fn(batches):
-        keys_index = None
-        n_rows = np.empty(0, dtype=np.int64)
-        accs = {s.name: np.empty(0, dtype=np.int64) for s in specs}
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            g, keys_index = _group_codes(pdf, group_cols, keys_index)
-            if len(keys_index) > n_rows.size:
-                n_rows = np.concatenate(
-                    [n_rows, np.zeros(len(keys_index) - n_rows.size, dtype=np.int64)]
-                )
-            # np.add.at keeps the row counts exact int64 (bincount weights
-            # would round past 2^53 — a stated design case for hot keys)
-            np.add.at(n_rows, g, pdf[_NROWS_COL].to_numpy(dtype=np.int64))
-            for s in specs:
-                parts = [
-                    (np.int64(gi) << np.int64(24)) | entries.astype(np.int64)
-                    for gi, (_, entries) in zip(
-                        g, (packed_entries_from_bytes(b) for b in pdf[s.state_col])
-                    )
-                ]
-                packed = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
-                if packed.size:
-                    packed.sort()
-                    accs[s.name] = _absorb_max(accs[s.name], _dedup_max_rho(packed))
-        if keys_index is not None and len(keys_index):
-            yield _emit_hll_rows(specs, group_cols, ps, keys_index, n_rows, accs, None)
+    @staticmethod
+    def init_acc():
+        return np.empty(0, dtype=np.int64)
 
-    return fn
+    def absorb_rows(self, acc, spec, g: np.ndarray, h: np.ndarray):
+        from ..sketches.hashing import trailing_zeros64
+        from ..sketches.hll import _dedup_max_rho
+
+        p = self.ps[spec.name]
+        guard = np.uint64(1 << (64 - p))
+        rho = trailing_zeros64(h | guard).astype(np.int64) + np.int64(1)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        packed = (g << np.int64(24)) | (idx << np.int64(6)) | rho
+        packed.sort()
+        return _absorb_max(acc, _dedup_max_rho(packed))
+
+    def absorb_states(self, acc, spec, g: np.ndarray, blobs):
+        from ..sketches.hll import _dedup_max_rho, packed_entries_from_bytes
+
+        parts = [
+            (np.int64(gi) << np.int64(24)) | packed_entries_from_bytes(b)[1].astype(np.int64)
+            for gi, b in zip(g, blobs)
+        ]
+        packed = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+        if not packed.size:
+            return acc
+        packed.sort()
+        return _absorb_max(acc, _dedup_max_rho(packed))
+
+    def emit_blobs(self, acc, spec, n: int) -> list:
+        from ..sketches.hll import packed_entries_to_bytes
+
+        bounds = np.searchsorted(acc >> np.int64(24), np.arange(n + 1))
+        p = self.ps[spec.name]
+        return [
+            packed_entries_to_bytes(p, (acc[bounds[i] : bounds[i + 1]] & _MASK24).astype(np.uint32))
+            for i in range(n)
+        ]
+
+
+class _KmvKernel:
+    """KMV hooks for the shared vectorized grouped builders: the
+    accumulator is a (group_code int64, hash uint64) array pair in
+    (group, hash) order, capped at the k smallest distinct hashes per
+    group each fold (`_kmv_combine`) — unlike HLL's 24-bit payload the
+    64-bit hash cannot share an int64 with the group code, so this kind
+    lexsorts the pair instead of sorting one packed array."""
+
+    def __init__(self, specs: list[SketchSpec]):
+        self.ks = {s.name: s.new().k for s in specs}
+
+    @staticmethod
+    def init_acc():
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
+
+    def absorb_rows(self, acc, spec, g: np.ndarray, h: np.ndarray):
+        return _kmv_combine(acc[0], acc[1], g, h, self.ks[spec.name])
+
+    def absorb_states(self, acc, spec, g: np.ndarray, blobs):
+        from ..sketches.kmv import mins_from_bytes
+
+        decoded = [mins_from_bytes(b)[1] for b in blobs]
+        sizes = np.array([d.size for d in decoded], dtype=np.int64)
+        if sizes.sum() == 0:
+            return acc
+        gg = np.repeat(g, sizes)
+        hh = np.concatenate(decoded)
+        return _kmv_combine(acc[0], acc[1], gg, hh, self.ks[spec.name])
+
+    def emit_blobs(self, acc, spec, n: int) -> list:
+        from ..sketches.kmv import mins_to_bytes
+
+        g_acc, h_acc = acc
+        bounds = np.searchsorted(g_acc, np.arange(n + 1))
+        k = self.ks[spec.name]
+        return [mins_to_bytes(k, h_acc[bounds[i] : bounds[i + 1]]) for i in range(n)]
 
 
 def _kmv_combine(
@@ -274,17 +280,21 @@ def _kmv_combine(
     return gg[sel], hh[sel]
 
 
-def _emit_kmv_rows(
+_VEC_KERNELS = {"hll": _HllKernel, "kmv": _KmvKernel}
+
+
+def _emit_state_rows(
     specs: list[SketchSpec],
     group_cols: list[str],
-    ks: dict,
+    kernel,
     keys_index,
     n_rows: np.ndarray,
     accs: dict,
     ord_key: int | None,
 ) -> pd.DataFrame:
-    from ..sketches.kmv import mins_to_bytes
-
+    """One output row per group code from the kernel accumulators.
+    Per-group Python happens only here (blob wrapping) — cost is
+    proportional to OUTPUT rows, never input rows."""
     n = len(keys_index)
     if len(group_cols) == 1:
         out = pd.DataFrame({group_cols[0]: keys_index})
@@ -295,25 +305,27 @@ def _emit_kmv_rows(
         out[_ORD_COL] = ord_key
     out[_NROWS_COL] = n_rows[:n]
     for s in specs:
-        g_acc, h_acc = accs[s.name]
-        bounds = np.searchsorted(g_acc, np.arange(n + 1))
-        k = ks[s.name]
-        out[s.state_col] = [
-            mins_to_bytes(k, h_acc[bounds[i] : bounds[i + 1]]) for i in range(n)
-        ]
+        out[s.state_col] = kernel.emit_blobs(accs[s.name], s, n)
     return out
 
 
-def _kmv_partial_builder(specs: list[SketchSpec], group_cols: list[str], col_map: dict, cap: int):
-    """All-KMV twin of `_hll_partial_builder`: per-group k-min distinct
-    samples built with no per-group Python in the batch loop. The
-    accumulator is a (group_code int64, hash uint64) pair of arrays in
-    (group, hash) order, capped at k per group each batch (`_kmv_combine`)
-    — unlike HLL's 24-bit payload the 64-bit hash cannot share an int64
-    with the group code, so this path lexsorts the pair instead of
-    sorting one packed array. Partials are byte-identical to the generic
-    dict builder's (same flush points, pure-set state)."""
-    ks = {s.name: s.new().k for s in specs}
+def _vec_partial_builder(
+    specs: list[SketchSpec], group_cols: list[str], col_map: dict, cap: int, kernel
+):
+    """Vectorized partial builder shared by the single-kind fast routes
+    (kernels: `_HllKernel`, `_KmvKernel`): no per-group Python in the
+    batch loop. Each batch factorizes its group keys (C-level), maps them
+    to stable first-seen codes through a persistent
+    ``pd.Index.get_indexer`` (hash join, C-level), and folds (code, hash)
+    rows into the kernel's accumulator with one sort + one merge per
+    batch regardless of group count. Per-group Python runs ONCE, at emit
+    (`_emit_state_rows`). Partials are byte-identical to the generic dict
+    builder's — same flush points, same canonical wire — gated by
+    test_grouped_hll_fast_path_byte_identical and its KMV twin.
+
+    Why: the generic dict-of-sketches loop costs ~5-10 us of Python per
+    (group, batch); at the north_star's distinct-tools-per-conv_id shape
+    (~1e6 live groups per partition) that dominates the build."""
 
     def fn(batches):
         from pyspark import TaskContext
@@ -323,7 +335,7 @@ def _kmv_partial_builder(specs: list[SketchSpec], group_cols: list[str], col_map
         flush = 0
         keys_index = None
         n_rows = np.empty(0, dtype=np.int64)
-        accs = {s.name: (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)) for s in specs}
+        accs = {s.name: kernel.init_acc() for s in specs}
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -335,41 +347,39 @@ def _kmv_partial_builder(specs: list[SketchSpec], group_cols: list[str], col_map
                 )
             n_rows += np.bincount(g, minlength=n_rows.size)
             for s in specs:
-                h = arrays[s.name][0]
-                g_acc, h_acc = accs[s.name]
-                accs[s.name] = _kmv_combine(g_acc, h_acc, g, h, ks[s.name])
+                accs[s.name] = kernel.absorb_rows(accs[s.name], s, g, arrays[s.name][0])
             if len(keys_index) > cap:
-                yield _emit_kmv_rows(
-                    specs, group_cols, ks, keys_index, n_rows, accs, (pid << 20) | flush
+                yield _emit_state_rows(
+                    specs, group_cols, kernel, keys_index, n_rows, accs, (pid << 20) | flush
                 )
                 flush += 1
                 keys_index = None
                 n_rows = np.empty(0, dtype=np.int64)
-                accs = {
-                    s.name: (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
-                    for s in specs
-                }
+                accs = {s.name: kernel.init_acc() for s in specs}
         if keys_index is not None and len(keys_index):
-            yield _emit_kmv_rows(
-                specs, group_cols, ks, keys_index, n_rows, accs, (pid << 20) | flush
+            yield _emit_state_rows(
+                specs, group_cols, kernel, keys_index, n_rows, accs, (pid << 20) | flush
             )
 
     return fn
 
 
-def _kmv_merge_builder(specs: list[SketchSpec], group_cols: list[str]):
-    """All-KMV twin of `_hll_merge_builder`: partition-wide k-min merge of
-    state rows after the hash repartition on the group columns. Valid for
-    the same reason as HLL — the state is a pure set function, so row
-    order cannot matter. Per-row Python is one blob decode per STATE row."""
-    from ..sketches.kmv import mins_from_bytes
-
-    ks = {s.name: s.new().k for s in specs}
+def _vec_merge_builder(specs: list[SketchSpec], group_cols: list[str], kernel):
+    """Vectorized per-partition merge of state rows — replaces the
+    per-key ``applyInPandas`` merge for single-kind HLL/KMV spec lists.
+    Partials are hash-repartitioned on the group columns, so each group's
+    rows land in exactly one partition; within the partition every blob
+    decodes into the kernel accumulator and ALL groups merge in one pass.
+    Safe precisely because these states are pure set functions with
+    byte-exact commutative merges — row order within the partition cannot
+    matter (order-sensitive kinds like t-digest must keep the ordered
+    applyInPandas path). The per-row blob decode loop runs over STATE
+    rows (one per group per upstream partition), not input rows."""
 
     def fn(batches):
         keys_index = None
         n_rows = np.empty(0, dtype=np.int64)
-        accs = {s.name: (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)) for s in specs}
+        accs = {s.name: kernel.init_acc() for s in specs}
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -378,88 +388,13 @@ def _kmv_merge_builder(specs: list[SketchSpec], group_cols: list[str]):
                 n_rows = np.concatenate(
                     [n_rows, np.zeros(len(keys_index) - n_rows.size, dtype=np.int64)]
                 )
+            # np.add.at keeps the row counts exact int64 (bincount weights
+            # would round past 2^53 — a stated design case for hot keys)
             np.add.at(n_rows, g, pdf[_NROWS_COL].to_numpy(dtype=np.int64))
             for s in specs:
-                decoded = [mins_from_bytes(b)[1] for b in pdf[s.state_col]]
-                sizes = np.array([d.size for d in decoded], dtype=np.int64)
-                if sizes.sum() == 0:
-                    continue
-                gg = np.repeat(g, sizes)
-                hh = np.concatenate(decoded)
-                g_acc, h_acc = accs[s.name]
-                accs[s.name] = _kmv_combine(g_acc, h_acc, gg, hh, ks[s.name])
+                accs[s.name] = kernel.absorb_states(accs[s.name], s, g, pdf[s.state_col])
         if keys_index is not None and len(keys_index):
-            yield _emit_kmv_rows(specs, group_cols, ks, keys_index, n_rows, accs, None)
-
-    return fn
-
-
-def _hll_partial_builder(specs: list[SketchSpec], group_cols: list[str], col_map: dict, cap: int):
-    """All-HLL fast path for `_partial_builder`: no per-group Python in
-    the batch loop. Each batch factorizes its group keys (C-level), packs
-    ``(group_code << 24) | (register_idx << 6) | rho`` into one int64
-    array per spec (idx needs <= 18 bits at p <= 18, rho <= 61 needs 6),
-    and sorted-merges it into a per-partition accumulator with
-    register-max dedup. Group keys map to stable first-seen codes through
-    a persistent ``pd.Index.get_indexer`` (hash join, C-level). Per-group
-    Python runs ONCE, at emit, to wrap each group's packed entries as a
-    canonical sketch blob — cost proportional to output rows, not input
-    rows. Emitted partials are byte-identical to the generic builder's
-    (same flush points, same canonical wire) — test_grouped_hll_fast_path
-    gates that equivalence.
-
-    Why: the generic dict-of-sketches loop costs ~5-10 us of Python per
-    (group, batch); at the north_star's distinct-tools-per-conv_id shape
-    (~1e6 live groups per partition) that dominates the build. Here the
-    per-batch cost is one sort + one searchsorted merge regardless of
-    group count, and with sparse HLL states (sketches/hll.py) both the
-    accumulator (8 B per nonzero (group, register)) and the shuffled
-    partials (~4 B/register) stay proportional to what the groups
-    actually saw."""
-    from ..sketches.hashing import trailing_zeros64
-    from ..sketches.hll import _dedup_max_rho
-
-    ps = {s.name: s.new().p for s in specs}
-
-    def emit(keys_index, n_rows, accs, ord_key) -> pd.DataFrame:
-        return _emit_hll_rows(specs, group_cols, ps, keys_index, n_rows, accs, ord_key)
-
-    def fn(batches):
-        from pyspark import TaskContext
-
-        ctx = TaskContext.get()
-        pid = ctx.partitionId() if ctx is not None else -1
-        flush = 0
-        keys_index = None
-        n_rows = np.empty(0, dtype=np.int64)
-        accs = {s.name: np.empty(0, dtype=np.int64) for s in specs}
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            arrays = batch_arrays(pdf, specs, col_map)
-            g, keys_index = _group_codes(pdf, group_cols, keys_index)
-            if len(keys_index) > n_rows.size:
-                n_rows = np.concatenate(
-                    [n_rows, np.zeros(len(keys_index) - n_rows.size, dtype=np.int64)]
-                )
-            n_rows += np.bincount(g, minlength=n_rows.size)
-            for s in specs:
-                h = arrays[s.name][0]
-                p = ps[s.name]
-                guard = np.uint64(1 << (64 - p))
-                rho = trailing_zeros64(h | guard).astype(np.int64) + np.int64(1)
-                idx = (h >> np.uint64(64 - p)).astype(np.int64)
-                packed = (g << np.int64(24)) | (idx << np.int64(6)) | rho
-                packed.sort()
-                accs[s.name] = _absorb_max(accs[s.name], _dedup_max_rho(packed))
-            if len(keys_index) > cap:
-                yield emit(keys_index, n_rows, accs, (pid << 20) | flush)
-                flush += 1
-                keys_index = None
-                n_rows = np.empty(0, dtype=np.int64)
-                accs = {s.name: np.empty(0, dtype=np.int64) for s in specs}
-        if keys_index is not None and len(keys_index):
-            yield emit(keys_index, n_rows, accs, (pid << 20) | flush)
+            yield _emit_state_rows(specs, group_cols, kernel, keys_index, n_rows, accs, None)
 
     return fn
 
@@ -553,30 +488,26 @@ def grouped_sketch(
 
     All-HLL spec lists take a fully vectorized route instead: the packed
     partial builder, one hash repartition on the group columns, and a
-    partition-wide register-max merge (`_hll_merge_builder`) — no per-key
+    partition-wide register-max merge (`_vec_merge_builder`) — no per-key
     ``applyInPandas`` and no salt level (the vectorized merge has no
     per-key fan-in limit, so ``salt_buckets`` is moot there). Same bytes
     out; the dispatch exists because a billion-group build (north_star:
     distinct tools per conv_id) is output-bound, not group-loop-bound,
     on this path."""
-    vec_builders = {
-        "hll": (_hll_partial_builder, _hll_merge_builder),
-        "kmv": (_kmv_partial_builder, _kmv_merge_builder),
-    }
     kinds = {s.kind for s in specs}
-    if len(kinds) == 1 and next(iter(kinds)) in vec_builders:
-        partial_b, merge_b = vec_builders[next(iter(kinds))]
+    if len(kinds) == 1 and next(iter(kinds)) in _VEC_KERNELS:
+        kernel = _VEC_KERNELS[next(iter(kinds))](specs)
         spec_cols, col_map = plan_columns(specs)
         prepared = df.select(*[F.col(c) for c in group_cols], *spec_cols)
         partials = prepared.mapInPandas(
-            partial_b(specs, group_cols, col_map, max_states_per_partition),
+            _vec_partial_builder(specs, group_cols, col_map, max_states_per_partition, kernel),
             schema=_grouped_schema(prepared, group_cols, specs, with_ord=True),
         )
         out_schema = StructType([f for f in partials.schema.fields if f.name != _ORD_COL])
         return (
             partials.repartition(*group_cols)
             .drop(_ORD_COL)
-            .mapInPandas(merge_b(specs, group_cols), schema=out_schema)
+            .mapInPandas(_vec_merge_builder(specs, group_cols, kernel), schema=out_schema)
         )
     partials = _pre_merge_states(df, group_cols, specs, salt_buckets, max_states_per_partition)
     out_schema = StructType(

@@ -123,7 +123,7 @@ def hll_grouped_parts_by_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """High-cardinality grouped build — one group per l_orderkey (~15k at
     sf0.01, scales with SF): distinct parts per order. Exercises the
     all-HLL vectorized route (packed partial builder + partition-wide
-    register-max merge, operators/grouped.py::_hll_merge_builder) where
+    register-max merge, operators/grouped.py::_vec_merge_builder) where
     output rows ~ input rows / 4. Gate: per-group estimates within
     max(2, 3sigma*n) of exact — at tiny per-group n the only error source
     is register collisions (P ~ n^2/2m per group), an ABSOLUTE error of 1
@@ -155,7 +155,7 @@ def hll_grouped_parts_by_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def kmv_grouped_parts_by_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """High-cardinality grouped KMV (vectorized (group, hash) k-min route,
-    operators/grouped.py::_kmv_partial_builder): distinct parts per
+    operators/grouped.py::_vec_partial_builder + _KmvKernel): distinct parts per
     l_orderkey. Per-order distinct counts sit far below k=1024, where a
     KMV sketch holds EVERY distinct hash — so the oracle demands exact
     equality of the estimates, not a bound (64-bit hash collisions are

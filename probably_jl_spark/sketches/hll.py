@@ -344,41 +344,59 @@ def estimate_many(blobs) -> np.ndarray:
     frozen at ITS OWN convergence point, so results are bit-identical to
     ``HyperLogLog.estimate()`` row by row (tested)."""
     n = len(blobs)
-    out = np.empty(n, dtype=np.float64)
     if n == 0:
-        return out
+        return np.empty(0, dtype=np.float64)
+    # estimate each DISTINCT blob once (few-distinct-states joined against
+    # many rows is the documented pjs_cardinality pattern)
+    uniq: dict[bytes, int] = {}
+    reps: list[bytes] = []
+    inv = np.empty(n, dtype=np.int64)
+    for i, b in enumerate(blobs):
+        j = uniq.get(b)
+        if j is None:
+            j = uniq[b] = len(reps)
+            reps.append(b)
+        inv[i] = j
     # inline decode of the fixed HLL layout (MAGIC|kind|version|hlen=1|p|
     # payload, codec.py) — ~7x less per-blob overhead than the generic
     # unwrap; anything that doesn't match the expected prefix falls back
-    # to the validating decoder
+    # to the validating decoder. Dense (v1) rows keep their raw register
+    # array: one np.bincount per row beats expanding m registers to
+    # packed entries by ~100x.
     _prefix_v2 = codec.MAGIC + bytes([codec.KIND_HLL, 2, 1, 0])
     _prefix_v1 = codec.MAGIC + bytes([codec.KIND_HLL, 1, 1, 0])
 
     def _decode(b: bytes):
         pre = b[:8]
         if pre == _prefix_v2:
-            return b[8], np.frombuffer(b, dtype="<u4", offset=9)
+            return b[8], None, np.frombuffer(b, dtype="<u4", offset=9)
         if pre == _prefix_v1:
-            regs = np.frombuffer(b, dtype=np.uint8, offset=9)
-            idx = np.flatnonzero(regs)
-            return b[8], (idx.astype(np.uint32) << _RHO_BITS) | regs[idx].astype(np.uint32)
-        return packed_entries_from_bytes(b)
+            return b[8], np.frombuffer(b, dtype=np.uint8, offset=9), None
+        p, e = packed_entries_from_bytes(b)
+        return p, None, e
 
-    decoded = [_decode(b) for b in blobs]
+    decoded = [_decode(b) for b in reps]
+    out_u = np.empty(len(reps), dtype=np.float64)
     by_p: dict[int, list[int]] = {}
-    for i, (p, _) in enumerate(decoded):
+    for i, (p, _, _) in enumerate(decoded):
         by_p.setdefault(p, []).append(i)
     for p, rows in by_p.items():
         m = float(1 << p)
         q = 64 - p
         counts = np.zeros((len(rows), q + 2), dtype=np.float64)
-        ent = [decoded[i][1] for i in rows]
-        sizes = np.array([e.size for e in ent], dtype=np.int64)
-        if sizes.sum():
-            rid = np.repeat(np.arange(len(rows)), sizes)
-            rho = (np.concatenate(ent) & _RHO_MASK).astype(np.int64)
-            np.add.at(counts, (rid, rho), 1.0)
-        counts[:, 0] = m - sizes
+        sp_pos = [li for li, i in enumerate(rows) if decoded[i][2] is not None]
+        if sp_pos:
+            ent = [decoded[rows[li]][2] for li in sp_pos]
+            sizes = np.array([e.size for e in ent], dtype=np.int64)
+            if sizes.sum():
+                rid = np.repeat(np.asarray(sp_pos, dtype=np.int64), sizes)
+                rho = (np.concatenate(ent) & _RHO_MASK).astype(np.int64)
+                np.add.at(counts, (rid, rho), 1.0)
+            counts[sp_pos, 0] = m - sizes
+        for li, i in enumerate(rows):
+            regs = decoded[i][1]
+            if regs is not None:
+                counts[li] = np.bincount(regs, minlength=q + 2)
         z = m * _tau_arr(1.0 - counts[:, q + 1] / m)
         for k in range(q, 0, -1):
             z = 0.5 * (z + counts[:, k])
@@ -386,8 +404,8 @@ def estimate_many(blobs) -> np.ndarray:
         alpha_inf = 1.0 / (2.0 * math.log(2.0))
         with np.errstate(divide="ignore"):
             est = alpha_inf * m * m / z
-        out[rows] = est
-    return out
+        out_u[rows] = est
+    return out_u[inv]
 
 
 def _sigma_arr(x: np.ndarray) -> np.ndarray:

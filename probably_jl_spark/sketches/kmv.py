@@ -213,12 +213,15 @@ class KMV:
 
     # ---------------------------------------------------------------- io
     def to_bytes(self) -> bytes:
+        # '<u8' pinned: the codec contract is little-endian payloads, and
+        # the grouped fast path (mins_to_bytes) must emit identical bytes
+        # on any host
         hdr = _HDR.pack(self.k, self.mins.size)
-        return codec.wrap(codec.KIND_KMV, hdr, self.mins.tobytes())
+        return codec.wrap(codec.KIND_KMV, hdr, self.mins.astype("<u8", copy=False).tobytes())
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "KMV":
         header, payload = codec.unwrap(data, codec.KIND_KMV)
         k, count = _HDR.unpack(header)
-        mins = np.frombuffer(payload[: 8 * count], dtype=np.uint64).copy()
+        mins = np.frombuffer(payload[: 8 * count], dtype="<u8").astype(np.uint64)
         return cls(k, mins)
