@@ -13,6 +13,8 @@ decode per group, not per row):
     SELECT pjs_quantile(state_len, 0.99)               FROM role_states
     SELECT pjs_merge(a.state, b.state)                 -- pairwise re-merge
     SELECT pjs_intersection(a.state, b.state)          -- KMV direct / HLL incl-excl
+    SELECT pjs_difference(a.state, b.state)            -- KMV |A \\ B|
+    SELECT pjs_jaccard(a.state, b.state)               -- KMV sample Jaccard
 
 Keys are strings on the SQL surface; a NULL key queries the NULL group
 exactly as the JVM build hashed NULL rows; any other key type raises a
@@ -187,6 +189,33 @@ def register_sketch_sql_functions(spark: SparkSession, prefix: str = "pjs_") -> 
                 out.append(float(intersection_cardinality(bytes(x), bytes(y))))
         return pd.Series(out, dtype="Float64")
 
+    @F.pandas_udf("double")
+    def _difference(a: pd.Series, b: pd.Series) -> pd.Series:
+        from . import difference_cardinality
+
+        out = []
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                out.append(None)
+            else:
+                out.append(float(difference_cardinality(bytes(x), bytes(y))))
+        return pd.Series(out, dtype="Float64")
+
+    @F.pandas_udf("double")
+    def _jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+        # per-group-PAIR overlap: join two grouped-KMV state tables and
+        # score tool-set / vocabulary similarity between groups in SQL
+        out = []
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                out.append(None)
+                continue
+            sa, sb = sketch_from_bytes(bytes(x)), sketch_from_bytes(bytes(y))
+            _expect(sa, (KMV,), "pjs_jaccard")
+            _expect(sb, (KMV,), "pjs_jaccard")
+            out.append(float(sa.jaccard(sb)))
+        return pd.Series(out, dtype="Float64")
+
     names = []
     for name, udf in (
         ("cardinality", _cardinality),
@@ -195,6 +224,8 @@ def register_sketch_sql_functions(spark: SparkSession, prefix: str = "pjs_") -> 
         ("quantile", _quantile),
         ("merge", _merge),
         ("intersection", _intersection),
+        ("difference", _difference),
+        ("jaccard", _jaccard),
     ):
         spark.udf.register(prefix + name, udf)
         names.append(prefix + name)

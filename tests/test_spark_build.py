@@ -691,3 +691,38 @@ def test_grouped_kmv_fast_path_byte_identical(spark, events):
     }
     for et, row in out.iterrows():
         assert sketch_from_bytes(row["state_u"]).cardinality() == float(exact[et])
+
+
+def test_sql_kmv_set_ops_between_groups(spark, events):
+    """pjs_jaccard / pjs_difference / pjs_intersection over a self-join
+    of grouped KMV states: per-group-PAIR overlap in plain SQL. k=4096
+    far exceeds the ~150 distinct users per group, so the sampled set ops
+    are EXACT and can be checked against the true set algebra."""
+    from probably_jl_spark.functions.sql import register_sketch_sql_functions
+
+    register_sketch_sql_functions(spark)
+    grouped_sketch(
+        events, ["event_type"],
+        [SketchSpec("u", "kmv", key_cols=("user_id",), params={"k": 4096})],
+    ).createOrReplaceTempView("type_users")
+    got = spark.sql(
+        """
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               pjs_jaccard(a.state_u, b.state_u) AS j,
+               pjs_intersection(a.state_u, b.state_u) AS i,
+               pjs_difference(a.state_u, b.state_u) AS d
+        FROM type_users a JOIN type_users b ON a.event_type < b.event_type
+        """
+    ).toPandas()
+    sets = {
+        r["event_type"]: set(r["us"])
+        for r in events.groupBy("event_type")
+        .agg(F.collect_set("user_id").alias("us"))
+        .collect()
+    }
+    assert len(got) > 0
+    for _, r in got.iterrows():
+        a, b = sets[r["ta"]], sets[r["tb"]]
+        assert r["j"] == len(a & b) / len(a | b)
+        assert r["i"] == len(a & b)
+        assert r["d"] == len(a - b)
