@@ -871,8 +871,8 @@ def write_bench_md(result: dict, history: list[dict]) -> None:
             f"{result['queries']['grouped_hll_by_conv']}s = "
             f"{result['grouped_hll_by_conv_groups_per_sec']:,} groups/sec "
             "end-to-end (vectorized packed-entries route, "
-            "operators/grouped.py: per-group Python only at state emit; "
-            "states sparse, ~4 B per observed register).",
+            "operators/grouped.py: vectorized state emit/decode, no "
+            "per-group Python; states sparse, ~4 B per observed register).",
         ]
     if "simhash_docs_per_sec" in result:
         lines += [

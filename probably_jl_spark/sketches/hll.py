@@ -333,6 +333,111 @@ def packed_entries_to_bytes(p: int, entries: np.ndarray) -> bytes:
     return HyperLogLog.from_packed_entries(p, entries).to_bytes()
 
 
+# fixed 9-byte sparse-v2 blob head: MAGIC | kind | version=2 | hlen=1 | p
+_PREFIX_V2 = codec.MAGIC + bytes([codec.KIND_HLL, 2, 1, 0])
+
+
+def packed_entries_many_to_bytes(
+    p: int, entries: np.ndarray, bounds: np.ndarray
+) -> list:
+    """Canonical wire blobs for MANY register files at once: group i's
+    sorted packed uint32 entries are ``entries[bounds[i]:bounds[i+1]]``.
+    Byte-identical to ``[packed_entries_to_bytes(p, ...) per group]`` but
+    the sparse-v2 common case is ONE flat uint8 buffer build (constant
+    9-byte head scatter + one entry-byte scatter) plus C-level bytes
+    slicing — no per-group struct packing. The grouped vectorized route
+    (operators/grouped.py) emits a flushful of groups through this; the
+    scalar loop was ~5.6 us/group, this is ~0.5. Groups past the sparse
+    threshold (> m/8 nonzero registers, rare for per-entity sketches)
+    fall back to the scalar dense-v1 encoder one by one."""
+    bounds = np.asarray(bounds, dtype=np.int64)
+    counts = np.diff(bounds)
+    n = counts.size
+    if n == 0:
+        return []
+    out: list = [None] * n
+    dense = counts > ((1 << p) >> 3)
+    if dense.any():
+        for i in np.flatnonzero(dense).tolist():
+            out[i] = packed_entries_to_bytes(
+                p, entries[bounds[i] : bounds[i + 1]].astype(np.uint32, copy=False)
+            )
+        sp = np.flatnonzero(~dense)
+        ent = entries[np.repeat(~dense, counts)]
+        sc = counts[sp]
+    else:
+        sp = np.arange(n, dtype=np.int64)
+        ent = entries
+        sc = counts
+    s_bounds = np.zeros(sp.size + 1, dtype=np.int64)
+    np.cumsum(sc, out=s_bounds[1:])
+    offs = np.zeros(sp.size + 1, dtype=np.int64)
+    np.cumsum(9 + 4 * sc, out=offs[1:])
+    buf = np.zeros(int(offs[-1]), dtype=np.uint8)
+    head = np.frombuffer(_PREFIX_V2 + _HDR.pack(p), dtype=np.uint8)
+    buf[(offs[:-1, None] + np.arange(9)).ravel()] = np.tile(head, sp.size)
+    ent_b = np.ascontiguousarray(ent.astype("<u4", copy=False)).view(np.uint8)
+    if ent_b.size:
+        pos = np.repeat(offs[:-1] + 9, sc * 4) + (
+            np.arange(ent_b.size) - np.repeat(4 * s_bounds[:-1], sc * 4)
+        )
+        buf[pos] = ent_b
+    data = buf.tobytes()
+    ol = offs.tolist()
+    for j, i in enumerate(sp.tolist()):
+        out[i] = data[ol[j] : ol[j + 1]]
+    return out
+
+
+def packed_entries_many_from_bytes(blobs) -> tuple[np.ndarray, np.ndarray]:
+    """(per-blob entry counts int64, entries uint32 concatenated in blob
+    order) for a sequence of HLL state blobs — the decode half of the
+    grouped vectorized route's state merge. Sparse-v2 blobs (the route's
+    own wire) parse in one gather over the joined buffer; anything else
+    (dense v1, legacy) falls back to the per-blob validating decoder and
+    splices in order. ~11x faster than per-blob ``unwrap`` at merge
+    fan-ins of millions of state rows. p is NOT returned: the callers own
+    both wire ends and carry p in the spec (same contract as the scalar
+    absorb loop this replaces)."""
+    n = len(blobs)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint32)
+    lens = np.fromiter((len(b) for b in blobs), count=n, dtype=np.int64)
+    flat = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    starts = offs[:-1]
+    head = np.frombuffer(_PREFIX_V2, dtype=np.uint8)
+    is_v2 = (lens >= 9) & ((lens - 9) % 4 == 0)
+    sel = np.flatnonzero(is_v2)
+    if sel.size:
+        probe = flat[(starts[sel, None] + np.arange(8)).reshape(-1)].reshape(-1, 8)
+        is_v2[sel] &= (probe == head).all(axis=1)
+    counts = np.where(is_v2, (lens - 9) // 4, 0)
+    other = np.flatnonzero(~is_v2)
+    dec = {}
+    for i in other.tolist():
+        dec[i] = packed_entries_from_bytes(blobs[i])[1]
+        counts[i] = dec[i].size
+    out_b = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_b[1:])
+    ent = np.empty(int(out_b[-1]), dtype=np.uint32)
+    v2 = np.flatnonzero(is_v2)
+    nb = counts[v2] * 4
+    if nb.sum():
+        src = np.repeat(starts[v2] + 9, nb) + (
+            np.arange(int(nb.sum())) - np.repeat(np.concatenate([[0], np.cumsum(nb)[:-1]]), nb)
+        )
+        dst = np.repeat(out_b[v2], counts[v2]) + (
+            np.arange(int(counts[v2].sum()))
+            - np.repeat(np.concatenate([[0], np.cumsum(counts[v2])[:-1]]), counts[v2])
+        )
+        ent[dst] = flat[src].view("<u4")
+    for i, e in dec.items():
+        ent[out_b[i] : out_b[i + 1]] = e
+    return counts, ent
+
+
 def estimate_many(blobs) -> np.ndarray:
     """Vectorized Ertl estimates for a sequence of HLL state blobs (both
     wire versions, mixed p allowed) — the batch path behind the

@@ -65,6 +65,91 @@ def mins_from_bytes(data: bytes) -> tuple[int, np.ndarray]:
     return k, np.frombuffer(payload[: 8 * count], dtype="<u8")
 
 
+# fixed 12-byte KMV blob head up to the count field:
+# MAGIC | kind | version=1 | hlen=8 | k(<u4); count(<u4) follows at +12
+_PREFIX = codec.MAGIC + bytes([codec.KIND_KMV, 1, 8, 0])
+
+
+def mins_many_to_bytes(k: int, mins: np.ndarray, bounds: np.ndarray) -> list:
+    """Wire blobs for MANY k-min sets at once: group i's sorted uint64
+    mins are ``mins[bounds[i]:bounds[i+1]]``. Byte-identical to
+    ``[mins_to_bytes(k, ...) per group]``; one flat buffer build + bytes
+    slicing instead of per-group struct packing (the HLL twin is
+    ``packed_entries_many_to_bytes`` — same shape, see there for why)."""
+    bounds = np.asarray(bounds, dtype=np.int64)
+    counts = np.diff(bounds)
+    n = counts.size
+    if n == 0:
+        return []
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(16 + 8 * counts, out=offs[1:])
+    buf = np.zeros(int(offs[-1]), dtype=np.uint8)
+    head = np.frombuffer(_PREFIX + struct.pack("<I", k), dtype=np.uint8)
+    buf[(offs[:-1, None] + np.arange(12)).ravel()] = np.tile(head, n)
+    cnt_b = counts.astype("<u4").view(np.uint8)
+    buf[(offs[:-1, None] + (12 + np.arange(4))).ravel()] = cnt_b
+    mins_b = np.ascontiguousarray(mins.astype("<u8", copy=False)).view(np.uint8)
+    if mins_b.size:
+        pos = np.repeat(offs[:-1] + 16, counts * 8) + (
+            np.arange(mins_b.size) - np.repeat(8 * bounds[:-1], counts * 8)
+        )
+        buf[pos] = mins_b
+    data = buf.tobytes()
+    ol = offs.tolist()
+    return [data[ol[i] : ol[i + 1]] for i in range(n)]
+
+
+def mins_many_from_bytes(blobs) -> tuple[np.ndarray, np.ndarray]:
+    """(per-blob min counts int64, mins uint64 concatenated in blob order)
+    — vectorized decode of a sequence of KMV state blobs; blobs that
+    don't match this encoder's own layout fall back to the validating
+    scalar decoder and splice in order. k is NOT returned (callers own
+    both wire ends; same contract as the scalar absorb loop)."""
+    n = len(blobs)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    lens = np.fromiter((len(b) for b in blobs), count=n, dtype=np.int64)
+    flat = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    starts = offs[:-1]
+    head = np.frombuffer(_PREFIX, dtype=np.uint8)
+    ok = lens >= 16
+    sel = np.flatnonzero(ok)
+    counts = np.zeros(n, dtype=np.int64)
+    if sel.size:
+        probe = flat[(starts[sel, None] + np.arange(8)).reshape(-1)].reshape(-1, 8)
+        ok[sel] &= (probe == head).all(axis=1)
+        cnt = flat[(starts[sel, None] + (12 + np.arange(4))).reshape(-1)].view("<u4")
+        counts[sel] = np.where(ok[sel], cnt.astype(np.int64), 0)
+    # the wire's count field is authoritative (mins_from_bytes slices the
+    # payload to 8*count); a blob whose length can't hold count mins is
+    # not ours — send it to the validating decoder
+    ok &= lens >= 16 + 8 * counts
+    counts[~ok] = 0
+    dec = {}
+    for i in np.flatnonzero(~ok).tolist():
+        dec[i] = mins_from_bytes(blobs[i])[1]
+        counts[i] = dec[i].size
+    out_b = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_b[1:])
+    out = np.empty(int(out_b[-1]), dtype=np.uint64)
+    good = np.flatnonzero(ok)
+    nb = counts[good] * 8
+    if nb.sum():
+        src = np.repeat(starts[good] + 16, nb) + (
+            np.arange(int(nb.sum())) - np.repeat(np.concatenate([[0], np.cumsum(nb)[:-1]]), nb)
+        )
+        dst = np.repeat(out_b[good], counts[good]) + (
+            np.arange(int(counts[good].sum()))
+            - np.repeat(np.concatenate([[0], np.cumsum(counts[good])[:-1]]), counts[good])
+        )
+        out[dst] = flat[src].view("<u8")
+    for i, e in dec.items():
+        out[out_b[i] : out_b[i + 1]] = e
+    return counts, out
+
+
 class KMV:
     __slots__ = ("k", "mins")
 

@@ -222,3 +222,42 @@ def test_estimate_many_bit_exact_and_mixed():
     assert all(
         (a == b) or (np.isinf(a) and np.isinf(b)) for a, b in zip(vec, scalar)
     ), list(zip(vec, scalar))
+
+
+def test_packed_entries_many_helpers_match_scalar():
+    """The grouped route's vectorized many-blob emit/decode must be
+    byte-identical to the scalar helpers, including dense-v1 fallback
+    groups past the m/8 sparse threshold and empty groups."""
+    from probably_jl_spark.sketches.hll import (
+        packed_entries_from_bytes,
+        packed_entries_many_from_bytes,
+        packed_entries_many_to_bytes,
+        packed_entries_to_bytes,
+    )
+
+    rng = np.random.RandomState(7)
+    p = 10  # m/8 = 128: dense groups are cheap to construct
+    sizes = [0, 1, 5, 130, 200, 64, 128, 129, 3, 0]
+    groups = []
+    for s in sizes:
+        idx = np.sort(rng.choice(1 << p, size=s, replace=False)).astype(np.uint32)
+        rho = rng.randint(1, 50, size=s).astype(np.uint32)
+        groups.append((idx << np.uint32(6)) | rho)
+    entries = np.concatenate(groups).astype(np.uint32)
+    bounds = np.zeros(len(sizes) + 1, dtype=np.int64)
+    np.cumsum(sizes, out=bounds[1:])
+
+    fast = packed_entries_many_to_bytes(p, entries, bounds)
+    assert fast == [packed_entries_to_bytes(p, g) for g in groups]
+
+    counts, ent = packed_entries_many_from_bytes(fast)
+    off = 0
+    for blob, c in zip(fast, counts):
+        pp, e = packed_entries_from_bytes(blob)
+        assert pp == p and c == e.size
+        assert np.array_equal(ent[off : off + c], e)
+        off += c
+
+    assert packed_entries_many_to_bytes(p, entries[:0], bounds[:1]) == []
+    c0, e0 = packed_entries_many_from_bytes([])
+    assert c0.size == 0 and e0.size == 0

@@ -179,3 +179,43 @@ def test_intersection_mixed_kind_error_message():
     h = HyperLogLog(12)
     with pytest.raises(TypeError, match="same kind.*KMV.*HyperLogLog"):
         intersection_cardinality(a, h)
+
+
+def test_mins_many_helpers_match_scalar():
+    """Vectorized many-blob KMV emit/decode byte-identical to the scalar
+    wire helpers; the wire's count field stays authoritative (a padded
+    blob decodes to exactly count mins, like mins_from_bytes)."""
+    from probably_jl_spark.sketches.kmv import (
+        mins_from_bytes,
+        mins_many_from_bytes,
+        mins_many_to_bytes,
+        mins_to_bytes,
+    )
+
+    rng = np.random.RandomState(11)
+    k = 64
+    sizes = [0, 1, 64, 30, 64, 2, 0]
+    groups = [np.sort(rng.randint(0, 2**63, size=s).astype(np.uint64)) for s in sizes]
+    mins = np.concatenate(groups).astype(np.uint64)
+    bounds = np.zeros(len(sizes) + 1, dtype=np.int64)
+    np.cumsum(sizes, out=bounds[1:])
+
+    fast = mins_many_to_bytes(k, mins, bounds)
+    assert fast == [mins_to_bytes(k, g) for g in groups]
+
+    counts, out = mins_many_from_bytes(fast)
+    off = 0
+    for blob, c in zip(fast, counts):
+        kk, e = mins_from_bytes(blob)
+        assert kk == k and c == e.size
+        assert np.array_equal(out[off : off + c], e)
+        off += c
+
+    padded = fast[2] + b"\x00" * 8
+    counts, out = mins_many_from_bytes([padded, fast[1]])
+    assert counts[0] == sizes[2] and np.array_equal(out[: counts[0]], groups[2])
+    assert counts[1] == sizes[1]
+
+    assert mins_many_to_bytes(k, mins[:0], bounds[:1]) == []
+    c0, e0 = mins_many_from_bytes([])
+    assert c0.size == 0 and e0.size == 0
