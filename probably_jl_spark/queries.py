@@ -171,6 +171,55 @@ def kmv_grouped_parts_by_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "l_orderkey bigint, kmv_distinct bigint")
 
 
+def rollup_day_to_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-state rollup (operators/rollup.py): per-(event_type, day)
+    HLL + KMV states of distinct users, re-merged to per-event_type with
+    ``rollup_states`` — the mergeable-summaries reaggregation law
+    (Agarwal et al. PODS 2012; reference merge laws, e.g.
+    /root/reference/test/hyperloglog.jl:72-88, lifted to state TABLES).
+    Gates: the rolled HLL estimate lands within the published bound of
+    the exact per-type distinct count, AND — because HLL/KMV states are
+    canonical pure set functions — the rolled states and summed n_rows
+    are BYTE-identical to building the coarse states directly from rows."""
+    from .operators.rollup import rollup_states
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    specs = [
+        SketchSpec("u", "hll", key_cols=("user_id",)),
+        SketchSpec("uk", "kmv", key_cols=("user_id",), params={"k": 256}),
+    ]
+    fine = grouped_sketch(ev, ["event_type", "day"], specs)
+    rolled = rollup_states(fine, ["event_type"]).toPandas().set_index("event_type")
+    direct = (
+        grouped_sketch(ev, ["event_type"], specs).toPandas().set_index("event_type")
+    )
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    rows = []
+    for et in sorted(exact):
+        n = int(exact[et])
+        est = sketch_from_bytes(rolled.loc[et, "state_u"]).cardinality()
+        rows.append(
+            (
+                et,
+                n,
+                bool(abs(est - n) / max(n, 1) <= HLL_BOUND),
+                bool(
+                    rolled.loc[et, "state_u"] == direct.loc[et, "state_u"]
+                    and rolled.loc[et, "state_uk"] == direct.loc[et, "state_uk"]
+                    and rolled.loc[et, "n_rows"] == direct.loc[et, "n_rows"]
+                ),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "event_type string, exact_distinct bigint, "
+        "hll_within_bound boolean, rollup_equals_direct boolean",
+    )
+
+
 def hll_vs_spark_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Independent-oracle cross-check (SURVEY.md §4.2): our HLL and Spark's
     built-in approx_count_distinct (HLL++, different registers) must BOTH
@@ -629,6 +678,7 @@ def sketch_queries() -> dict:
         "hll_grouped_orders_by_supplier": hll_grouped_orders_by_supplier,
         "hll_grouped_parts_by_order": hll_grouped_parts_by_order,
         "kmv_grouped_parts_by_order": kmv_grouped_parts_by_order,
+        "rollup_day_to_type": rollup_day_to_type,
         "hll_vs_spark_builtin": hll_vs_spark_builtin,
         "cms_event_type_freq": cms_event_type_freq,
         "cms_returnflag_linestatus": cms_returnflag_linestatus,
@@ -680,6 +730,11 @@ def sketch_oracles() -> dict:
             "SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, "
             "CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS kmv_distinct "
             "FROM lineitem GROUP BY l_orderkey"
+        ),
+        "rollup_day_to_type": (
+            "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct, "
+            "TRUE AS hll_within_bound, TRUE AS rollup_equals_direct "
+            "FROM events GROUP BY event_type"
         ),
         "hll_vs_spark_builtin": (
             "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct, "
