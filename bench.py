@@ -453,8 +453,9 @@ def run_bench() -> dict:
     # north_star's high-cardinality grouped shape: one HLL state of
     # distinct tools PER conv_id — output rows ~= N_CONVS (20M at sf0.1).
     # Runs the all-HLL vectorized route (packed partial builder +
-    # partition-wide register-max merge, operators/grouped.py): per-group
-    # Python only at state emit, states sparse (~4 B/registered tool).
+    # partition-wide register-max merge, vectorized many-blob state
+    # emit/decode, operators/grouped.py): no per-group Python anywhere,
+    # states sparse (~4 B/registered tool).
     t0 = time.perf_counter()
     n_conv_groups = grouped_sketch(
         tr,
@@ -465,6 +466,30 @@ def run_bench() -> dict:
     queries["grouped_hll_by_conv"] = round(g_sec, 3)
     extras["grouped_hll_by_conv_groups"] = n_conv_groups
     extras["grouped_hll_by_conv_groups_per_sec"] = round(n_conv_groups / g_sec)
+
+    # sketch-state rollup at full cardinality (operators/rollup.py): the
+    # mergeable-summaries payoff — re-aggregate N_CONVS per-conversation
+    # states to ONE global state without touching raw rows. The state
+    # table is built once and cached (parquet) so the timing is the
+    # rollup alone: vectorized many-blob decode -> packed register-max
+    # fold per partition -> one state-only exchange of 2x32 partials.
+    from probably_jl_spark.operators.rollup import rollup_states
+
+    states_path = os.path.join(CACHE, f"conv_states_{N_CONVS}")
+    if not os.path.exists(os.path.join(states_path, "_SUCCESS")):
+        log(f"caching grouped conv states -> {states_path}")
+        grouped_sketch(
+            tr, ["conv_id"], [SketchSpec("tools", "hll", key_cols=("tool",))]
+        ).write.mode("overwrite").parquet(states_path)
+    states_df = spark.read.parquet(states_path)
+    states_df.count()  # warm page cache
+    vals = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        rollup_states(states_df, []).collect()
+        vals.append(time.perf_counter() - t0)
+    queries["rollup_conv_states_global"] = round(min(vals), 3)
+    extras["rollup_states_per_sec"] = round(n_conv_groups / min(vals))
 
     # SimHash over >=1M docs (VERDICT r01 next-round #2 evidence): batch
     # fold via JVM token-hash arrays + segment sums — no per-doc Python.
@@ -873,6 +898,17 @@ def write_bench_md(result: dict, history: list[dict]) -> None:
             "end-to-end (vectorized packed-entries route, "
             "operators/grouped.py: vectorized state emit/decode, no "
             "per-group Python; states sparse, ~4 B per observed register).",
+        ]
+    if "rollup_states_per_sec" in result:
+        lines += [
+            "",
+            f"Sketch-state rollup (operators/rollup.py): "
+            f"{result['grouped_hll_by_conv_groups']:,} cached per-conversation "
+            f"states re-merged to ONE global state in "
+            f"{result['queries']['rollup_conv_states_global']}s = "
+            f"{result['rollup_states_per_sec']:,} states/sec — reaggregation "
+            "without rescanning raw rows (byte-identical to the direct "
+            "global build; the rollup_day_to_type oracle gates this).",
         ]
     if "simhash_docs_per_sec" in result:
         lines += [
