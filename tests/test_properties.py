@@ -139,3 +139,82 @@ def test_quantile_merge_rank_consistency(vs, split):
         hi = (arr <= est).sum() / len(arr)
         slack = bound + 1.5 / len(arr)  # + discretization for tiny inputs
         assert lo - slack <= 0.5 <= hi + slack
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=160), min_size=1, max_size=12),
+    p=st.sampled_from([8, 10, 14]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_hll_many_blob_helpers_equal_scalar(sizes, p, seed):
+    """packed_entries_many_to/from_bytes == the scalar helpers for ANY
+    mix of group sizes, including empty groups and dense-v1 fallbacks
+    (sizes above m/8)."""
+    from probably_jl_spark.sketches.hll import (
+        packed_entries_from_bytes,
+        packed_entries_many_from_bytes,
+        packed_entries_many_to_bytes,
+        packed_entries_to_bytes,
+    )
+
+    rng = np.random.RandomState(seed)
+    groups = []
+    for s in sizes:
+        s = min(s, 1 << p)
+        idx = np.sort(rng.choice(1 << p, size=s, replace=False)).astype(np.uint32)
+        rho = rng.randint(1, 64 - p + 1, size=s).astype(np.uint32)
+        groups.append((idx << np.uint32(6)) | rho)
+    entries = (
+        np.concatenate(groups).astype(np.uint32)
+        if groups
+        else np.empty(0, dtype=np.uint32)
+    )
+    bounds = np.zeros(len(groups) + 1, dtype=np.int64)
+    np.cumsum([g.size for g in groups], out=bounds[1:])
+    blobs = packed_entries_many_to_bytes(p, entries, bounds)
+    assert blobs == [packed_entries_to_bytes(p, g) for g in groups]
+    counts, ent = packed_entries_many_from_bytes(blobs)
+    off = 0
+    for blob, c in zip(blobs, counts):
+        pp, e = packed_entries_from_bytes(blob)
+        assert pp == p and c == e.size
+        assert np.array_equal(ent[off : off + c], e)
+        off += c
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=80), min_size=1, max_size=12),
+    k=st.sampled_from([16, 64, 256]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_kmv_many_blob_helpers_equal_scalar(sizes, k, seed):
+    from probably_jl_spark.sketches.kmv import (
+        mins_from_bytes,
+        mins_many_from_bytes,
+        mins_many_to_bytes,
+        mins_to_bytes,
+    )
+
+    rng = np.random.RandomState(seed)
+    groups = [
+        np.unique(rng.randint(0, 2**63, size=s).astype(np.uint64))[: min(s, k)]
+        for s in sizes
+    ]
+    mins = (
+        np.concatenate(groups).astype(np.uint64)
+        if groups
+        else np.empty(0, dtype=np.uint64)
+    )
+    bounds = np.zeros(len(groups) + 1, dtype=np.int64)
+    np.cumsum([g.size for g in groups], out=bounds[1:])
+    blobs = mins_many_to_bytes(k, mins, bounds)
+    assert blobs == [mins_to_bytes(k, g) for g in groups]
+    counts, out = mins_many_from_bytes(blobs)
+    off = 0
+    for blob, c in zip(blobs, counts):
+        kk, e = mins_from_bytes(blob)
+        assert kk == k and c == e.size
+        assert np.array_equal(out[off : off + c], e)
+        off += c
