@@ -9,22 +9,22 @@ states instead of rescanning 10^12 turns.
 build (operators/grouped.py): stage 1 folds each input partition's state
 rows into one partial per coarse key (mapInPandas, flush-capped memory),
 so a coarse key covering the whole table costs one partial per partition
-— never a single-task row pile-up; stage 2 shuffles only the folded
-partials and merges them per key in ascending-partition order (the same
-deterministic `_merge_groups` the grouped build uses, including the
-auto-derived salt level when the scan is very wide).
+— never a single-task row pile-up; stage 2 hash-repartitions only those
+folded partials on the coarse key and merges each partition in ONE
+streaming pass, rows pre-sorted by (key, origin order) so
+merge-order-sensitive kinds (t-digest, KLL, cuckoo) apply partials in
+ascending partition order — the same determinism law as the grouped
+build, with no per-key pandas group materialization at any fan-in.
 
 Column routing is detected executor-side from the blobs' own kind bytes:
-HLL and KMV columns take the vectorized many-blob path (joined-buffer
-decode -> packed accumulator -> flat-buffer emit, no per-state-row
-Python; see sketches/hll.py / kmv.py many-blob helpers), every other
+HLL and KMV columns delegate to the grouped build's vectorized kernels
+(`_HllKernel`/`_KmvKernel`: joined-buffer many-blob decode -> packed
+accumulator -> flat-buffer emit, no per-state-row Python), every other
 kind folds through the generic ``merge_blobs`` dispatch. Because HLL and
 KMV states are canonical pure set functions, rolling up fine-grained
 states is BYTE-identical to building the coarse states directly from the
 raw rows (gated by test + the rollup_day_to_type oracle query);
-merge-order-sensitive kinds (t-digest, KLL, cuckoo) stay inside their
-published bounds and are deterministic for a fixed input partitioning,
-exactly like the grouped build itself.
+order-sensitive kinds stay inside their published bounds.
 """
 
 from __future__ import annotations
@@ -36,54 +36,55 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, LongType, StructField, StructType
 
 from ..sketches import codec
-from .grouped import (
-    _ORD_COL,
-    _SALT_COL,
-    _NROWS_COL,
-    _auto_salt_buckets,
-    _group_codes,
-    _merge_groups,
-)
-from .specs import merge_blobs
+from .grouped import _ORD_COL, _NROWS_COL, _VEC_KERNELS, _group_codes
+from .specs import SketchSpec, merge_blobs
 
 
-class _StateCol:
-    """Minimal spec shim for `_merge_groups`, which only reads
-    ``state_col``."""
-
-    __slots__ = ("state_col",)
-
-    def __init__(self, state_col: str):
-        self.state_col = state_col
-
-
-def _uniform_header_value(flat: np.ndarray, starts: np.ndarray, col: str, kind: str):
+def _check_uniform_param(blobs, col: str, kind: str, expect: int | None):
     """All blobs of a rollup column must agree on the sizing parameter
     (HLL p at byte 8; KMV k as <u4 at bytes 8:12) — a mixed-parameter
-    merge would silently produce garbage registers, so it raises."""
+    merge would silently produce garbage registers, so it raises. Reads
+    only the header bytes (no joined-buffer build; the decode helpers do
+    that once, later), with an explicit length guard so a truncated blob
+    gets a contextful error instead of a bare gather IndexError."""
+    need = 9 if kind == "hll" else 16
+    for b in blobs:
+        if len(b) < need:
+            raise ValueError(
+                f"rollup_states: column {col!r} holds a sketch blob too "
+                f"short for a {kind} header ({len(b)} < {need} bytes)"
+            )
     if kind == "hll":
-        vals = flat[starts + 8].astype(np.int64)
+        vals = np.fromiter((b[8] for b in blobs), count=len(blobs), dtype=np.int64)
     else:
-        vals = flat[(starts[:, None] + (8 + np.arange(4))).reshape(-1)].view("<u4").astype(np.int64)
-    if vals.size and (vals != vals[0]).any():
+        vals = np.frombuffer(b"".join(b[8:12] for b in blobs), dtype="<u4").astype(
+            np.int64
+        )
+    if expect is None:
+        expect = int(vals[0])
+    if (vals != expect).any():
         raise ValueError(
             f"rollup_states: column {col!r} mixes {kind} states with "
-            f"different sizing parameters ({sorted(set(vals.tolist()))}); "
+            f"different sizing parameters ({sorted(set(vals.tolist()) | {expect})}); "
             "only same-parameter states are mergeable"
         )
-    return int(vals[0])
+    return expect
 
 
 class _ColAcc:
     """Per-column rollup accumulator, routed by the column's own kind
-    byte at first sight: 'hll' / 'kmv' -> vectorized packed accumulators
-    (same layouts as the grouped kernels), anything else -> generic
-    {group code -> folded blob} via merge_blobs."""
+    byte at first sight: 'hll' / 'kmv' delegate to the grouped build's
+    vectorized kernels (one shared implementation of the packed fold and
+    flat-buffer emit), anything else folds a {group code -> blob} dict
+    through the generic ``merge_blobs`` dispatch (one Python merge per
+    STATE row — rollup inputs are state tables, never raw rows)."""
 
     def __init__(self, col: str):
         self.col = col
         self.kind: str | None = None
         self.param: int | None = None  # p (hll) / k (kmv)
+        self.kernel = None
+        self.spec: SketchSpec | None = None
         self.acc = None
 
     def absorb(self, g: np.ndarray, blobs: list) -> None:
@@ -92,81 +93,44 @@ class _ColAcc:
             self.kind = {codec.KIND_HLL: "hll", codec.KIND_KMV: "kmv"}.get(k, "generic")
             if self.kind == "generic":
                 self.acc = {}
-        if self.kind == "hll":
-            from ..sketches.hll import _dedup_max_rho, packed_entries_many_from_bytes
-            from .grouped import _absorb_max
-
-            lens = np.fromiter((len(b) for b in blobs), count=len(blobs), dtype=np.int64)
-            starts = np.zeros(len(blobs), dtype=np.int64)
-            np.cumsum(lens[:-1], out=starts[1:])
-            flat = np.frombuffer(b"".join(blobs), dtype=np.uint8)
-            p = _uniform_header_value(flat, starts, self.col, "hll")
-            if self.param is None:
-                self.param = p
-                self.acc = np.empty(0, dtype=np.int64)
-            elif p != self.param:
-                raise ValueError(
-                    f"rollup_states: column {self.col!r} mixes p={self.param} and p={p}"
-                )
-            counts, ent = packed_entries_many_from_bytes(blobs)
-            if ent.size:
-                packed = (np.repeat(g, counts) << np.int64(24)) | ent.astype(np.int64)
-                packed.sort()
-                self.acc = _absorb_max(self.acc, _dedup_max_rho(packed))
-        elif self.kind == "kmv":
-            from ..sketches.kmv import mins_many_from_bytes
-            from .grouped import _kmv_combine
-
-            lens = np.fromiter((len(b) for b in blobs), count=len(blobs), dtype=np.int64)
-            starts = np.zeros(len(blobs), dtype=np.int64)
-            np.cumsum(lens[:-1], out=starts[1:])
-            flat = np.frombuffer(b"".join(blobs), dtype=np.uint8)
-            k = _uniform_header_value(flat, starts, self.col, "kmv")
-            if self.param is None:
-                self.param = k
-                self.acc = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
-            elif k != self.param:
-                raise ValueError(
-                    f"rollup_states: column {self.col!r} mixes k={self.param} and k={k}"
-                )
-            counts, hh = mins_many_from_bytes(blobs)
-            if hh.size:
-                self.acc = _kmv_combine(
-                    self.acc[0], self.acc[1], np.repeat(g, counts), hh, k
-                )
-        else:
+        if self.kind == "generic":
             acc = self.acc
             for code, blob in zip(g.tolist(), blobs):
                 acc[code] = merge_blobs(acc.get(code), blob)
+            return
+        self.param = _check_uniform_param(blobs, self.col, self.kind, self.param)
+        if self.kernel is None:
+            pkey = "p" if self.kind == "hll" else "k"
+            self.spec = SketchSpec(
+                self.col, self.kind, key_cols=("_",), params={pkey: self.param}
+            )
+            self.kernel = _VEC_KERNELS[self.kind]([self.spec])
+            self.acc = self.kernel.init_acc()
+        self.acc = self.kernel.absorb_states(self.acc, self.spec, g, blobs)
 
     def emit_blobs(self, n: int) -> list:
-        from .grouped import _MASK24
-
-        if self.kind == "hll":
-            from ..sketches.hll import packed_entries_many_to_bytes
-
-            bounds = np.searchsorted(self.acc >> np.int64(24), np.arange(n + 1))
-            return packed_entries_many_to_bytes(
-                self.param, (self.acc & _MASK24).astype(np.uint32), bounds
-            )
-        if self.kind == "kmv":
-            from ..sketches.kmv import mins_many_to_bytes
-
-            g_acc, h_acc = self.acc
-            bounds = np.searchsorted(g_acc, np.arange(n + 1))
-            return mins_many_to_bytes(self.param, h_acc, bounds)
-        return [self.acc.get(i) for i in range(n)]
+        if self.kind == "generic":
+            return [self.acc.get(i) for i in range(n)]
+        return self.kernel.emit_blobs(self.acc, self.spec, n)
 
     def reset(self) -> None:
-        if self.kind == "hll":
-            self.acc = np.empty(0, dtype=np.int64)
-        elif self.kind == "kmv":
-            self.acc = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
-        elif self.kind == "generic":
+        if self.kind == "generic":
             self.acc = {}
+        elif self.kernel is not None:
+            self.acc = self.kernel.init_acc()
 
 
-def _rollup_partial_builder(group_cols: list[str], state_cols: list[str], cap: int):
+def _rollup_builder(
+    group_cols: list[str], state_cols: list[str], cap: int | None, with_ord: bool
+):
+    """Shared mapInPandas body for both rollup stages. Stage 1
+    (``with_ord=True``): flush-capped partials, one per (partition,
+    coarse key), tagged with the deterministic merge order key. Stage 2
+    (``with_ord=False``): one streaming pass over a hash-partitioned,
+    (key, ord)-sorted partition — every group's partials fold in
+    ascending origin order (the grouped build's determinism law) with no
+    per-key pandas group materialization."""
+
     def fn(batches):
         from pyspark import TaskContext
 
@@ -184,7 +148,8 @@ def _rollup_partial_builder(group_cols: list[str], state_cols: list[str], cap: i
             else:
                 out = keys_index.to_frame(index=False)
                 out.columns = list(group_cols)
-            out[_ORD_COL] = ord_key
+            if ord_key is not None:
+                out[_ORD_COL] = ord_key
             out[_NROWS_COL] = n_rows[:n]
             for c in state_cols:
                 out[c] = cols[c].emit_blobs(n)
@@ -202,7 +167,7 @@ def _rollup_partial_builder(group_cols: list[str], state_cols: list[str], cap: i
                 np.add.at(n_rows, g, pdf[_NROWS_COL].to_numpy(dtype=np.int64))
             for c in state_cols:
                 cols[c].absorb(g, list(pdf[c]))
-            if len(keys_index) > cap:
+            if cap is not None and len(keys_index) > cap:
                 yield emit((pid << 20) | flush)
                 flush += 1
                 keys_index = None
@@ -210,7 +175,7 @@ def _rollup_partial_builder(group_cols: list[str], state_cols: list[str], cap: i
                 for c in state_cols:
                     cols[c].reset()
         if keys_index is not None and len(keys_index):
-            yield emit((pid << 20) | flush)
+            yield emit(((pid << 20) | flush) if with_ord else None)
 
     return fn
 
@@ -219,7 +184,6 @@ def rollup_states(
     states_df: DataFrame,
     group_cols: list[str],
     state_cols: list[str] | None = None,
-    salt_buckets: int | None = None,
     max_states_per_partition: int = 1 << 16,
 ) -> DataFrame:
     """Re-merge sketch-state rows to the coarser key ``group_cols``:
@@ -230,18 +194,19 @@ def rollup_states(
 
     Input is any state table this library produces (``grouped_sketch``
     output, checkpoint tables, previous rollups) — kinds are detected
-    from the blobs themselves, HLL/KMV take the fully vectorized path,
-    and mixed sizing parameters within a column raise rather than merge
-    garbage. State columns must be non-null.
+    from the blobs themselves, HLL/KMV take the fully vectorized kernel
+    path in BOTH stages, and mixed sizing parameters within a column
+    raise rather than merge garbage. State columns must be non-null.
 
     Scale shape: stage 1 never holds more than ``max_states_per_partition``
     coarse groups in memory (flushes are lossless — merges are
     associative) and emits one partial per (partition, coarse key), so a
     coarse key absorbing the entire input costs #partitions state rows,
-    not a single-task row pile-up; only those partials shuffle. The final
-    merge applies partials in ascending partition order (deterministic —
-    same law as the grouped build); ``salt_buckets`` defaults to the same
-    partition-count-derived fan-in bound as ``grouped_sketch``."""
+    not a single-task row pile-up; only those partials shuffle, and the
+    final merge streams each hash-partition in one pass (no per-key
+    pandas group, so fan-in needs no salt level). Partials apply in
+    ascending partition order (deterministic — same law as the grouped
+    build)."""
     all_group = list(group_cols)
     df = states_df
     if not all_group:
@@ -255,11 +220,6 @@ def rollup_states(
         ]
     if not state_cols:
         raise ValueError("rollup_states: no binary state columns to roll up")
-    if salt_buckets is None:
-        try:
-            salt_buckets = _auto_salt_buckets(df.rdd.getNumPartitions())
-        except Exception:  # pragma: no cover - un-materializable plans
-            salt_buckets = 1
     fields = [StructField(df.schema[c].name, df.schema[c].dataType) for c in all_group]
     fields.append(StructField(_ORD_COL, LongType()))
     fields.append(StructField(_NROWS_COL, LongType()))
@@ -267,28 +227,17 @@ def rollup_states(
     part_schema = StructType(fields)
     keep = all_group + ([_NROWS_COL] if _NROWS_COL in df.columns else []) + state_cols
     partials = df.select(*keep).mapInPandas(
-        _rollup_partial_builder(all_group, state_cols, max_states_per_partition),
+        _rollup_builder(all_group, state_cols, max_states_per_partition, with_ord=True),
         schema=part_schema,
     )
-    shims = [_StateCol(c) for c in state_cols]
-    if salt_buckets > 1:
-        level1 = partials.withColumn(
-            _SALT_COL, F.pmod(F.shiftright(F.col(_ORD_COL), 20), F.lit(salt_buckets))
-        )
-        mid_cols = all_group + [_SALT_COL]
-        mid_schema = StructType(
-            [StructField(c, level1.schema[c].dataType) for c in mid_cols]
-            + [StructField(_ORD_COL, LongType()), StructField(_NROWS_COL, LongType())]
-            + [StructField(c, BinaryType()) for c in state_cols]
-        )
-        partials = (
-            level1.groupBy(*mid_cols)
-            .applyInPandas(_merge_groups(shims, mid_cols, with_ord=True), schema=mid_schema)
-            .drop(_SALT_COL)
-        )
     out_schema = StructType([f for f in part_schema.fields if f.name != _ORD_COL])
-    out = partials.groupBy(*all_group).applyInPandas(
-        _merge_groups(shims, all_group, with_ord=False), schema=out_schema
+    out = (
+        partials.repartition(*all_group)
+        .sortWithinPartitions(*all_group, _ORD_COL)
+        .mapInPandas(
+            _rollup_builder(all_group, state_cols, None, with_ord=False),
+            schema=out_schema,
+        )
     )
     if not group_cols:
         out = out.drop("__all")

@@ -11,12 +11,13 @@ from pyspark.sql import functions as F
 from probably_jl_spark.operators.grouped import grouped_sketch
 from probably_jl_spark.operators.rollup import rollup_states
 from probably_jl_spark.operators.specs import SketchSpec, sketch_from_bytes
+from tests.conftest import SF_DIR
 
 
 @pytest.fixture(scope="module")
 def fine_states(spark):
     ev = (
-        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
         .withColumn("day", F.to_date("ts"))
         .repartition(8)
     )
@@ -49,7 +50,7 @@ def test_rollup_equals_direct_build_byte_exact(spark, fine_states):
         )
 
 
-def test_rollup_flush_cap_and_salt_are_lossless(spark, fine_states):
+def test_rollup_flush_cap_is_lossless(spark, fine_states):
     _, _, fine = fine_states
     base = {
         r["event_type"]: (r["state_u"], r["state_uk"], r["n_rows"])
@@ -59,7 +60,7 @@ def test_rollup_flush_cap_and_salt_are_lossless(spark, fine_states):
         r["event_type"]: (r["state_u"], r["state_uk"], r["n_rows"])
         for r in rollup_states(
             fine, ["event_type"], state_cols=["state_u", "state_uk"],
-            max_states_per_partition=1, salt_buckets=4,
+            max_states_per_partition=1,
         ).collect()
     }
     assert base.keys() == capped.keys()
@@ -91,6 +92,21 @@ def test_rollup_rejects_mixed_params(spark):
         [("x", a.to_bytes()), ("x", b.to_bytes())], "g string, state_u binary"
     ).coalesce(1)
     with pytest.raises(Exception, match="mixes"):
+        rollup_states(df, ["g"]).collect()
+
+
+def test_rollup_truncated_blob_raises_codec_error(spark):
+    """A truncated blob must surface the codec's validating error (too
+    short / bad magic), never a bare numpy IndexError from the header
+    gather."""
+    from probably_jl_spark.sketches.hll import HyperLogLog
+
+    a = HyperLogLog(12)
+    a.update_hashes(np.arange(10, dtype=np.uint64))
+    df = spark.createDataFrame(
+        [("x", a.to_bytes()), ("x", a.to_bytes()[:8])], "g string, state_u binary"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="too short|bad magic"):
         rollup_states(df, ["g"]).collect()
 
 
