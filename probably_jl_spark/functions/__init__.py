@@ -9,6 +9,8 @@ executors.
 
 from __future__ import annotations
 
+import uuid
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -122,6 +124,29 @@ def _materialize(state):
 
 # ----------------------------------------------------------- batch queries
 
+# per-worker-process decode cache for broadcast sketch states, keyed by a
+# driver-generated token captured in the UDF closure (worker-side
+# Broadcast objects expose no stable id). Without it every Arrow batch
+# re-ran sketch_from_bytes — for a SmallCuckoo (full combinadic bitstream
+# decode) or a multi-MB Bloom that decode dominates the probe. Small LRU
+# so long-lived workers probing many different states stay bounded.
+# Probes only ever READ the cached sketch (contains_hashes/query_hashes).
+from collections import OrderedDict
+
+_BC_SKETCH_CACHE: OrderedDict = OrderedDict()
+_BC_SKETCH_CACHE_MAX = 8
+
+
+def _cached_sketch(token: str, bc):
+    sk = _BC_SKETCH_CACHE.get(token)
+    if sk is None:
+        sk = _BC_SKETCH_CACHE[token] = sketch_from_bytes(bc.value)
+        while len(_BC_SKETCH_CACHE) > _BC_SKETCH_CACHE_MAX:
+            _BC_SKETCH_CACHE.popitem(last=False)
+    else:
+        _BC_SKETCH_CACHE.move_to_end(token)
+    return sk
+
 
 def batch_contains(
     keys_df: DataFrame,
@@ -139,9 +164,11 @@ def batch_contains(
     blob = state if isinstance(state, (bytes, bytearray)) else state.to_bytes()
     bc = keys_df.sparkSession.sparkContext.broadcast(bytes(blob))
 
+    token = uuid.uuid4().hex  # stable across closure pickling
+
     @F.pandas_udf("boolean")
     def probe(h: pd.Series) -> pd.Series:
-        sk = sketch_from_bytes(bc.value)
+        sk = _cached_sketch(token, bc)  # decode once per worker, not per batch
         hs = h.to_numpy(dtype=np.int64).view(np.uint64)
         return pd.Series(sk.contains_hashes(hs))
 
@@ -159,9 +186,11 @@ def batch_query_counts(keys_df: DataFrame, key_cols: list[str], state, out_col: 
     blob = state if isinstance(state, (bytes, bytearray)) else state.to_bytes()
     bc = keys_df.sparkSession.sparkContext.broadcast(bytes(blob))
 
+    token = uuid.uuid4().hex  # stable across closure pickling
+
     @F.pandas_udf("long")
     def probe(h: pd.Series) -> pd.Series:
-        sk = sketch_from_bytes(bc.value)
+        sk = _cached_sketch(token, bc)  # decode once per worker, not per batch
         hs = h.to_numpy(dtype=np.int64).view(np.uint64)
         return pd.Series(sk.query_hashes(hs).astype(np.int64))
 

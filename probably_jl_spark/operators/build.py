@@ -109,7 +109,16 @@ def batch_arrays(pdf: pd.DataFrame, specs: list[SketchSpec], col_map: dict) -> d
         if "c" in m:
             cname = m["c"]
             if cname not in cache:
-                cache[cname] = pdf[cname].to_numpy(dtype=np.int64, na_value=0).astype(np.uint64)
+                signed = pdf[cname].to_numpy(dtype=np.int64, na_value=0)
+                # guard BEFORE the uint64 reinterpretation: -1 would wrap
+                # to 2^64-1, sailing past MG's own negative-weight check
+                # (mg.py) and poisoning CMS cells with garbage counts
+                if signed.size and int(signed.min()) < 0:
+                    raise ValueError(
+                        f"count column {cname!r} contains negative values; "
+                        "CMS/MG counts must be >= 0"
+                    )
+                cache[cname] = signed.astype(np.uint64)
             c = cache[cname]
         out[s.name] = (h, v, c)
     return out

@@ -254,9 +254,17 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     the frame itself is the stubbed step. Demonstrates the explode-based
     fan-out shape a real sampler uses."""
     feats = extract_media_features(df)
+    # ceil(duration/every) frames: one per STARTED interval, so the final
+    # partial interval still yields its frame (duration 2500 @ 1000 ->
+    # ts 0/1000/2000, not just 0/1000 — floor dropped the tail frame)
     return feats.filter(F.col("kind") == "video").select(
         "media_id",
         F.posexplode(
-            F.sequence(F.lit(0), F.greatest((F.col("duration_ms") / every_ms).cast("int") - 1, F.lit(0)))
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.ceil(F.col("duration_ms") / every_ms).cast("int") - 1, F.lit(0)
+                ),
+            )
         ).alias("frame_idx", "_i"),
     ).select("media_id", "frame_idx", (F.col("frame_idx") * every_ms).alias("ts_ms"))

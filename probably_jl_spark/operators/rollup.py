@@ -48,12 +48,12 @@ def _check_uniform_param(blobs, col: str, kind: str, expect: int | None):
     that once, later), with an explicit length guard so a truncated blob
     gets a contextful error instead of a bare gather IndexError."""
     need = 9 if kind == "hll" else 16
-    for b in blobs:
-        if len(b) < need:
-            raise ValueError(
-                f"rollup_states: column {col!r} holds a sketch blob too "
-                f"short for a {kind} header ({len(b)} < {need} bytes)"
-            )
+    lens = np.fromiter((len(b) for b in blobs), count=len(blobs), dtype=np.int64)
+    if int(lens.min()) < need:
+        raise ValueError(
+            f"rollup_states: column {col!r} holds a sketch blob too "
+            f"short for a {kind} header ({int(lens.min())} < {need} bytes)"
+        )
     if kind == "hll":
         vals = np.fromiter((b[8] for b in blobs), count=len(blobs), dtype=np.int64)
     else:

@@ -64,7 +64,11 @@ class CountMinSketch:
         self.width = width
         self.depth = depth
         self.dtype = np.dtype(dtype)
-        if self.dtype.itemsize not in _DTYPES:
+        # kind check, not just itemsize: int32/float32 share itemsize 4
+        # with uint32, but from_bytes maps the size back to the unsigned
+        # type — accepting them would break the round-trip law (and
+        # reinterpret float bits as counts)
+        if self.dtype.kind != "u" or self.dtype.itemsize not in _DTYPES:
             raise ValueError("dtype must be an unsigned integer type")
         if table is None:
             table = np.zeros((depth, width), dtype=self.dtype)

@@ -470,11 +470,17 @@ class CuckooFilter:
             self.f == other.f
             and self.nbuckets == other.nbuckets
             and self.ejected == other.ejected
+            # ejected_index is state: pop! re-pushes the ejected fp at
+            # its recorded index, so filters differing only here diverge
+            # on the next op (and the wire serializes it)
+            and self.ejected_index == other.ejected_index
             and bool(np.array_equal(self.buckets, other.buckets))
         )
 
     def __hash__(self):
-        return hash((self.f, self.nbuckets, self.ejected, self.buckets.tobytes()))
+        return hash(
+            (self.f, self.nbuckets, self.ejected, self.ejected_index, self.buckets.tobytes())
+        )
 
     # ---------------------------------------------------------------- io
     def to_bytes(self) -> bytes:

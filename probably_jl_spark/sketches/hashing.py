@@ -210,13 +210,20 @@ def mix64_scalar(h: int, salt: int) -> int:
     return x
 
 
-_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
 
 
 def popcount64(x: np.ndarray) -> np.ndarray:
-    """Per-element popcount of a uint64 array (numpy<2 lacks bitwise_count)."""
-    b = x.view(np.uint8).reshape(x.shape + (8,)) if x.ndim else x.reshape(1).view(np.uint8)
-    return _POP8[b].sum(axis=-1).astype(np.uint8)
+    """Per-element popcount of a uint64 array (numpy<2 lacks
+    bitwise_count): four 16-bit table lookups (64 KiB table) — the one
+    shared implementation (bloom loadfactor, SimHash hamming probes)."""
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    return (
+        _POP16[(x & np.uint64(0xFFFF)).astype(np.int64)]
+        + _POP16[((x >> np.uint64(16)) & np.uint64(0xFFFF)).astype(np.int64)]
+        + _POP16[((x >> np.uint64(32)) & np.uint64(0xFFFF)).astype(np.int64)]
+        + _POP16[((x >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.int64)]
+    ).astype(np.uint8)
 
 
 def trailing_zeros64(x: np.ndarray) -> np.ndarray:

@@ -335,6 +335,8 @@ def packed_entries_to_bytes(p: int, entries: np.ndarray) -> bytes:
 
 # fixed 9-byte sparse-v2 blob head: MAGIC | kind | version=2 | hlen=1 | p
 _PREFIX_V2 = codec.MAGIC + bytes([codec.KIND_HLL, 2, 1, 0])
+# fixed 9-byte dense-v1 blob head (same layout, version byte 1)
+_PREFIX_V1 = codec.MAGIC + bytes([codec.KIND_HLL, 1, 1, 0])
 
 
 def packed_entries_many_to_bytes(
@@ -468,14 +470,12 @@ def estimate_many(blobs) -> np.ndarray:
     # to the validating decoder. Dense (v1) rows keep their raw register
     # array: one np.bincount per row beats expanding m registers to
     # packed entries by ~100x.
-    _prefix_v2 = codec.MAGIC + bytes([codec.KIND_HLL, 2, 1, 0])
-    _prefix_v1 = codec.MAGIC + bytes([codec.KIND_HLL, 1, 1, 0])
 
     def _decode(b: bytes):
         pre = b[:8]
-        if pre == _prefix_v2:
+        if pre == _PREFIX_V2:
             return b[8], None, np.frombuffer(b, dtype="<u4", offset=9)
-        if pre == _prefix_v1:
+        if pre == _PREFIX_V1:
             return b[8], np.frombuffer(b, dtype=np.uint8, offset=9), None
         p, e = packed_entries_from_bytes(b)
         return p, None, e

@@ -180,18 +180,9 @@ def process_seen_batch(
 # ------------------------------------------------ fuzzy (SimHash) variant
 
 
-_T16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
-
-
-def _popcount64(x: np.ndarray) -> np.ndarray:
-    """Vectorized popcount for uint64 (numpy < 2 has no bitwise_count):
-    four 16-bit table lookups (64 KiB table)."""
-    return (
-        _T16[(x & np.uint64(0xFFFF)).astype(np.int64)]
-        + _T16[((x >> np.uint64(16)) & np.uint64(0xFFFF)).astype(np.int64)]
-        + _T16[((x >> np.uint64(32)) & np.uint64(0xFFFF)).astype(np.int64)]
-        + _T16[((x >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.int64)]
-    ).astype(np.int64)
+# one shared popcount (sketches/hashing.py — code-review r5: this module
+# had grown its own second 16-bit-table copy)
+from ..sketches.hashing import popcount64 as _popcount64
 
 
 def _band_tables(state: np.ndarray) -> list[tuple[np.ndarray, np.ndarray]]:

@@ -21,6 +21,12 @@ def test_param_validation():
     with pytest.raises(ValueError):
         CountMinSketch(100, 1)
     assert CountMinSketch(100, 2).table.shape == (2, 100)
+    # kind check, not just itemsize (code-review r5): int32/float32 share
+    # itemsize 4 with uint32 but would break the round-trip law
+    with pytest.raises(ValueError, match="unsigned"):
+        CountMinSketch(100, 2, np.int32)
+    with pytest.raises(ValueError, match="unsigned"):
+        CountMinSketch(100, 2, np.float32)
 
 
 def test_params_from_error():

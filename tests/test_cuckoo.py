@@ -442,3 +442,17 @@ def test_resident_small_batch_update():
     h = np.array([1, 2, 3], dtype=np.uint64)
     assert filt.update_hashes(h)
     assert filt.contains_hashes(h).all()
+
+
+def test_eq_includes_ejected_index():
+    """Two closed filters with identical buckets/ejected fp but different
+    ejected_index must NOT compare equal: pop! re-pushes the ejected fp
+    at its recorded index, so they diverge on the next operation (and the
+    wire serializes the index)."""
+    a = CuckooFilter(8, 12)
+    b = CuckooFilter(8, 12)
+    a.ejected, a.ejected_index = 5, 1
+    b.ejected, b.ejected_index = 5, 2
+    assert a != b and hash(a) != hash(b)
+    b.ejected_index = 1
+    assert a == b and hash(a) == hash(b)

@@ -93,3 +93,16 @@ def test_xxhash64_int32_path_matches_spark(spark):
     for r in rows:
         assert xxhash64_any(r.iv, int_bytes=4) % M == r.h % M
         assert xxhash64_any(r.iv) % M != r.h % M  # long path differs
+
+
+def test_popcount64_full_range_and_shapes():
+    """The shared 16-bit-table popcount (one implementation for bloom
+    loadfactor AND the SimHash hamming probes — code-review r5 removed a
+    duplicate) matches bin().count over random words and boundary
+    values."""
+    rng = np.random.default_rng(3)
+    xs = rng.integers(0, 2**63, size=1000, dtype=np.int64).view(np.uint64)
+    xs = np.concatenate([xs, np.array([0, 1, 2**64 - 1, 2**63], dtype=np.uint64)])
+    got = popcount64(xs)
+    want = [bin(int(v)).count("1") for v in xs]
+    assert got.tolist() == want

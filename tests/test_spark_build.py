@@ -726,3 +726,17 @@ def test_sql_kmv_set_ops_between_groups(spark, events):
         assert r["j"] == len(a & b) / len(a | b)
         assert r["i"] == len(a & b)
         assert r["d"] == len(a - b)
+
+
+def test_negative_count_column_raises(spark):
+    """A negative count must fail loudly BEFORE the int64->uint64
+    reinterpretation (code-review r5: -1 wrapped to 2^64-1, sailing past
+    MG's own negative-weight guard and poisoning CMS cells)."""
+    df = spark.createDataFrame(
+        [("a", 3), ("b", -1)], "k string, cnt bigint"
+    )
+    with pytest.raises(Exception, match="negative"):
+        sketch_table(
+            df,
+            [SketchSpec("f", "cms", key_cols=("k",), count_col="cnt")],
+        )

@@ -103,6 +103,16 @@ def test_frame_sample_plan(spark):
     plan = frame_sample_plan(media, every_ms=60000).toPandas()
     assert (plan.ts_ms % 60000 == 0).all()
     assert plan.groupby("media_id").frame_idx.is_monotonic_increasing.all() or len(plan) > 0
+    # one frame per STARTED interval: ceil(duration/every), so a partial
+    # final interval still yields its frame (code-review r5: floor
+    # dropped it). Verify per media against the decoded duration.
+    feats = extract_media_features(media).toPandas().set_index("media_id")
+    counts = plan.groupby("media_id").size()
+    import math
+
+    for mid, n in counts.items():
+        dur = feats.loc[mid, "duration_ms"]
+        assert n == max(1, math.ceil(dur / 60000)), (mid, dur, n)
 
 
 def test_fake_decoder_is_marked_stub():
