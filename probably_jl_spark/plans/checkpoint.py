@@ -166,18 +166,25 @@ class CheckpointedSketchBuild:
             bucketed = self._with_bucket(df).filter(
                 F.col(BUCKET_COL).isin([int(b) for b in missing])
             )
-            per_bucket = grouped_sketch(bucketed, [BUCKET_COL], self.specs)
-            attempt = uuid.uuid4().hex[:12]
-            out = per_bucket.withColumn("attempt", F.lit(attempt))
-            out.write.mode("append").parquet(self.ckpt_dir)
-            # groupBy drops empty buckets: mark them done with empty states.
-            # Derive which buckets actually had rows from the INPUT, not
-            # from reading the checkpoint back — a transient read error
-            # there must not spawn empty markers shadowing real rows.
-            produced = {
-                r[BUCKET_COL]
-                for r in bucketed.select(BUCKET_COL).distinct().collect()
-            }
+            # persist the per-bucket STATE rows (<= n_buckets small rows):
+            # the write populates the cache, and `produced` below reads
+            # the cached result instead of a second full source scan
+            # (code-review r5 — resume paid 2x source I/O)
+            per_bucket = grouped_sketch(bucketed, [BUCKET_COL], self.specs).persist()
+            try:
+                attempt = uuid.uuid4().hex[:12]
+                out = per_bucket.withColumn("attempt", F.lit(attempt))
+                out.write.mode("append").parquet(self.ckpt_dir)
+                # groupBy drops empty buckets: mark them done with empty
+                # states. Derive which buckets actually had rows from the
+                # COMPUTED result (cached above), not from reading the
+                # checkpoint back — a transient read error there must not
+                # spawn empty markers shadowing real rows.
+                produced = {
+                    r[BUCKET_COL] for r in per_bucket.select(BUCKET_COL).collect()
+                }
+            finally:
+                per_bucket.unpersist()
             empty = sorted(missing - produced)
             if empty:
                 rows = []

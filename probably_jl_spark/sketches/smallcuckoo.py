@@ -150,6 +150,11 @@ def _decode_codes_u64(codes: np.ndarray, f: int, nbuckets: int) -> np.ndarray:
     return W.reshape(nbuckets, 1)
 
 
+# pack/unpack bit-expansion chunk (buckets per chunk); module-level so
+# tests can shrink it to exercise multi-chunk splicing on small filters
+_PACK_CHUNK = 1 << 20
+
+
 def pack_payload(filt: CuckooFilter) -> bytes:
     """Semisort-compressed payload: one big-endian bitstream of per-bucket
     codes, bucket b at bits [b*(12+4(f-4)), ...). Shared by the wire
@@ -159,8 +164,23 @@ def pack_payload(filt: CuckooFilter) -> bytes:
     if f <= 16:
         codes = _encode_codes_u64(filt)
         shifts = np.arange(bits_per - 1, -1, -1, dtype=np.uint64)
-        bits = ((codes[:, None] >> shifts) & _U(1)).astype(np.uint8)
-        return np.packbits(bits.ravel()).tobytes()
+        # chunked bit expansion: the (buckets x bits_per) uint64
+        # temporary costs 8 bytes per encoded BIT (~64x the payload —
+        # ~5.9 GB for a 2^26-slot f=12 filter), exactly in the
+        # serialization-heavy paths this format exists to shrink
+        # (code-review r5). 2^20-bucket chunks cap it at ~370 MB; every
+        # non-final chunk is byte-aligned (bits_per % 4 == 0 and the
+        # chunk count is even), so the splice is byte-identical to the
+        # one-shot pack (only the final chunk zero-pads, as before).
+        # even chunk REQUIRED for the splice: bits_per % 4 == 0, so an
+        # even bucket count makes every non-final chunk a whole number of
+        # bytes; an odd one would make packbits zero-pad mid-stream
+        ch = max(2, _PACK_CHUNK & ~1)
+        parts = []
+        for i in range(0, codes.size, ch):
+            bits = ((codes[i : i + ch, None] >> shifts) & _U(1)).astype(np.uint8)
+            parts.append(np.packbits(bits.ravel()).tobytes())
+        return b"".join(parts)
     # f in 17..32: streaming big-int pack with a bounded accumulator
     acc = 0
     acc_bits = 0
@@ -197,10 +217,21 @@ class SmallCuckooFilter(CuckooFilter):
         f, nbuckets, ej, eji = _HDR.unpack(header)
         bits_per = 12 + 4 * (f - 4)
         if f <= 16:
-            raw = np.unpackbits(np.frombuffer(payload, dtype=np.uint8))
-            bits = raw[: nbuckets * bits_per].reshape(nbuckets, bits_per).astype(np.uint64)
+            # chunked inverse of pack_payload's expansion (same ~64x
+            # uint64 transient otherwise — code-review r5). Chunk
+            # boundaries are byte-aligned (see pack_payload), so each
+            # chunk unpacks from its own byte window.
             shifts = np.arange(bits_per - 1, -1, -1, dtype=np.uint64)
-            codes = (bits << shifts).sum(axis=1, dtype=np.uint64)
+            ch = max(2, _PACK_CHUNK & ~1)  # even: see pack_payload
+            data8 = np.frombuffer(payload, dtype=np.uint8)
+            codes = np.empty(nbuckets, dtype=np.uint64)
+            for i in range(0, nbuckets, ch):
+                n = min(ch, nbuckets - i)
+                b0 = (i * bits_per) // 8
+                b1 = ((i + n) * bits_per + 7) >> 3
+                raw = np.unpackbits(data8[b0:b1])
+                bits = raw[: n * bits_per].reshape(n, bits_per).astype(np.uint64)
+                codes[i : i + n] = (bits << shifts).sum(axis=1, dtype=np.uint64)
             buckets = _decode_codes_u64(codes, f, nbuckets)
             return cls(nbuckets * 4, f, buckets, ej, eji)
         # f in 17..32: decode each bucket from its own byte window
@@ -431,7 +462,12 @@ class ResidentSmallCuckoo(CuckooFilter):
     def __eq__(self, other) -> bool:
         if not isinstance(other, CuckooFilter):
             return False
-        if (self.f, self.nbuckets, self.ejected) != (other.f, other.nbuckets, other.ejected):
+        # ejected_index is state (pop! re-pushes the ejected fp at its
+        # recorded index; the wire serializes it) — same rule as
+        # CuckooFilter.__eq__, so equality is a congruence across layouts
+        if (self.f, self.nbuckets, self.ejected, self.ejected_index) != (
+            other.f, other.nbuckets, other.ejected, other.ejected_index
+        ):
             return False
         if isinstance(other, ResidentSmallCuckoo):
             return bool(np.array_equal(self.packed, other.packed))
@@ -439,7 +475,9 @@ class ResidentSmallCuckoo(CuckooFilter):
         return self.packed.tobytes() == pack_payload(other)
 
     def __hash__(self):
-        return hash((self.f, self.nbuckets, self.ejected, self.packed.tobytes()))
+        return hash(
+            (self.f, self.nbuckets, self.ejected, self.ejected_index, self.packed.tobytes())
+        )
 
     # --------------------------------------------------------------- io
     def to_bytes(self) -> bytes:

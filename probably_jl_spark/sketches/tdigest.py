@@ -68,6 +68,14 @@ class TDigest:
                 weights = np.asarray(weights, dtype=np.float64)[keep]
         if values.size == 0:
             return
+        if weights is not None:
+            weights = np.asarray(weights, dtype=np.float64)
+            # same ingestion-boundary guard as build.py's count columns:
+            # a NaN weight poisons n and every later quantile; a negative
+            # one silently corrupts cluster assignment (code-review r5).
+            # Zero weights are legal (dropped by _presort's cumsum math).
+            if np.isnan(weights).any() or (weights < 0).any():
+                raise ValueError("t-digest weights must be finite and >= 0")
         self.vmin = min(self.vmin, float(values.min()))
         self.vmax = max(self.vmax, float(values.max()))
         if weights is not None:
@@ -220,13 +228,19 @@ class TDigest:
         if not isinstance(other, TDigest) or self.delta != other.delta:
             return False
         a, b = self._flushed(), other._flushed()
+        # vmin/vmax are state: quantile(0)/quantile(1)/cdf read them and
+        # the wire serializes them, so digests whose centroids collapsed
+        # identically but saw different extremes must NOT compare equal
+        # (code-review r5; equality gates the round-trip law)
+        if (a.vmin, a.vmax) != (b.vmin, b.vmax):
+            return False
         return bool(np.array_equal(a.means, b.means)) and bool(
             np.array_equal(a.weights, b.weights)
         )
 
     def __hash__(self):
         s = self._flushed()
-        return hash((s.delta, s.means.tobytes()))
+        return hash((s.delta, s.vmin, s.vmax, s.means.tobytes()))
 
     # ---------------------------------------------------------------- io
     def to_bytes(self) -> bytes:

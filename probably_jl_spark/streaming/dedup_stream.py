@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..sketches.bloom import BloomFilter
-from .stream_build import SketchStateStore
+from .stream_build import SketchStateStore, checkpoint_identity
 
 
 def seen_before_stream(
@@ -110,14 +110,17 @@ def process_seen_batch(
     from pyspark.sql.types import StructType
 
     store._spark = batch_df.sparkSession
-    states, last = store.load()
+    states, last, lin = store.load_full()
     blobs = states.get((), {})
-    # batch ids are scoped to the query checkpoint: on a checkpoint
-    # reset the stored ids are from a different numbering, so the
-    # guard must reset too (replayed OLD texts still drop — the Bloom
-    # filter is content-based), else renumbered NEW data is silently
-    # discarded (code-review r4)
-    if blobs.get("lineage") == checkpoint_dir and batch_id <= last:
+    # batch ids are scoped to the query checkpoint's numbering EPOCH: on
+    # a checkpoint reset the stored ids are from a different numbering,
+    # so the guard must reset too (replayed OLD texts still drop — the
+    # Bloom filter is content-based), else renumbered NEW data is
+    # silently discarded (code-review r4). The epoch is the query id
+    # from <checkpoint>/metadata, NOT the dir path — a wiped dir keeps
+    # its path (code-review r5); checkpoint_identity handles both.
+    lineage = checkpoint_identity(batch_df.sparkSession, checkpoint_dir)
+    if blobs.get("lineage", lin) == lineage and batch_id <= last:
         return  # same lineage, replayed batch: decisions already made
     bf = (
         BloomFilter.from_bytes(blobs["seen"])
@@ -153,15 +156,24 @@ def process_seen_batch(
         keep_schema = StructType(
             [StructField("__h", LongType()), batch_df.schema[id_col]]
         )
-        new_rows = hashed.join(
-            F.broadcast(
-                batch_df.sparkSession.createDataFrame(
-                    [(r["__h"], r["__rep"]) for r in picked], keep_schema
-                )
-            ),
-            ["__h", id_col],
-            "leftsemi",
-        ).drop("__h")
+        new_rows = (
+            hashed.join(
+                F.broadcast(
+                    batch_df.sparkSession.createDataFrame(
+                        [(r["__h"], r["__rep"]) for r in picked], keep_schema
+                    )
+                ),
+                ["__h", id_col],
+                "leftsemi",
+            )
+            # the semi-join keeps every PHYSICAL row matching the picked
+            # (hash, rep) pair: a batch carrying the same (doc_id, text)
+            # on two rows would emit both — a kept duplicate, the exact
+            # direction this operator promises never to err in
+            # (code-review r5). One row per decision:
+            .dropDuplicates(["__h", id_col])
+            .drop("__h")
+        )
         sink(new_rows, batch_id)
     finally:
         batch_df.unpersist()
@@ -171,9 +183,9 @@ def process_seen_batch(
     blobs["seen"] = bf.to_bytes()
     blobs["n_kept"] = blobs.get("n_kept", 0) + len(picked)
     blobs["n_rows"] = blobs.get("n_rows", 0) + n_batch_rows
-    blobs["lineage"] = checkpoint_dir
+    blobs.pop("lineage", None)  # superseded by the store-level epoch field
     states[()] = blobs
-    store.save(states, batch_id)
+    store.save(states, batch_id, lineage=lineage)
 
 
 
@@ -314,9 +326,11 @@ def process_near_seen_batch(
     from ..operators.dedup import simhash
 
     store._spark = batch_df.sparkSession
-    states, last = store.load()
+    states, last, lin = store.load_full()
     blobs = states.get((), {})
-    if blobs.get("lineage") == checkpoint_dir and batch_id <= last:
+    # epoch-keyed replay guard (see process_seen_batch — same rule)
+    lineage = checkpoint_identity(batch_df.sparkSession, checkpoint_dir)
+    if blobs.get("lineage", lin) == lineage and batch_id <= last:
         return  # same lineage, replayed batch: decisions already made
     state = (
         np.frombuffer(blobs["seen_hashes"], dtype=np.uint64)
@@ -390,9 +404,9 @@ def process_near_seen_batch(
     blobs["seen_hashes"] = state.tobytes()
     blobs["n_kept"] = blobs.get("n_kept", 0) + len(kept_h)
     blobs["n_rows"] = blobs.get("n_rows", 0) + n_batch_rows
-    blobs["lineage"] = checkpoint_dir
+    blobs.pop("lineage", None)  # superseded by the store-level epoch field
     states[()] = blobs
-    store.save(states, batch_id)
+    store.save(states, batch_id, lineage=lineage)
 
 
 def near_seen_stats(state_dir: str, spark=None) -> dict:

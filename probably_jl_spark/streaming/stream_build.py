@@ -97,6 +97,14 @@ class SketchStateStore:
         return pickle.loads(base64.b64decode(data_b64))
 
     def load(self) -> tuple[dict, int]:
+        states, last, _ = self.load_full()
+        return states, last
+
+    def load_full(self) -> tuple[dict, int, str | None]:
+        """(states, last_batch_id, lineage). ``lineage`` identifies the
+        batch-id numbering epoch the snapshot was written under (see
+        ``checkpoint_identity``); None for snapshots from before the
+        field existed."""
         jvm, fs, dirp = self._fs()
         snaps = self._snapshots(jvm, fs, dirp)
         if not snaps:
@@ -105,28 +113,52 @@ class SketchStateStore:
             legacy = jvm.org.apache.hadoop.fs.Path(dirp, "state.pkl")
             if fs.exists(dirp) and fs.exists(legacy):
                 snapshot = self._read_snapshot(jvm, fs, legacy)
-                return snapshot["states"], snapshot["last_batch_id"]
-            return {}, -1
+                return snapshot["states"], snapshot["last_batch_id"], None
+            return {}, -1, None
         _, path = snaps[-1]
         key = (str(path), fs.getFileStatus(path).getLen())
         if self._cache is not None and self._cache[0] == key:
-            states, last = self._cache[1]
-            return self._copy_states(states), last
+            states, last, lin = self._cache[1]
+            return self._copy_states(states), last, lin
         snapshot = self._read_snapshot(jvm, fs, path)
-        self._cache = (key, (snapshot["states"], snapshot["last_batch_id"]))
-        return self._copy_states(snapshot["states"]), snapshot["last_batch_id"]
+        self._cache = (
+            key,
+            (snapshot["states"], snapshot["last_batch_id"], snapshot.get("lineage")),
+        )
+        return (
+            self._copy_states(snapshot["states"]),
+            snapshot["last_batch_id"],
+            snapshot.get("lineage"),
+        )
 
-    def save(self, states: dict, batch_id: int) -> None:
+    def save(self, states: dict, batch_id: int, lineage: str | None = None) -> None:
         jvm, fs, dirp = self._fs()
         if not fs.exists(dirp):
             fs.mkdirs(dirp)
-        blob = pickle.dumps({"states": states, "last_batch_id": batch_id})
+        blob = pickle.dumps(
+            {"states": states, "last_batch_id": batch_id, "lineage": lineage}
+        )
         # the snapshot NUMBER is a monotone version, not the batch id:
         # after a checkpoint reset batch ids renumber from 0, and a
         # batch-id-named snapshot would sort BELOW the previous lineage's
         # snapshots — load() would forever return stale state
         # (code-review r4). The batch id itself lives in the pickle.
-        snaps = self._snapshots(jvm, fs, dirp)
+        # ONE directory listing serves version derivation, superseded-
+        # snapshot cleanup AND stale-tmp cleanup below — this commit path
+        # runs per micro-batch and each listing is a remote LIST
+        # round-trip on an object store (code-review r5: it listed 3x).
+        entries = list(fs.listStatus(dirp))
+        snaps = sorted(
+            (int(st.getPath().getName()[len("state.b") : -len(".pkl")]), st.getPath())
+            for st in entries
+            if st.getPath().getName().startswith("state.b")
+            and st.getPath().getName().endswith(".pkl")
+        )
+        # pre-write listing: our own tmp (created below) is never in it,
+        # so every .pkl.tmp seen here is a stale leftover of a crashed save
+        stale_tmps = [
+            st.getPath() for st in entries if st.getPath().getName().endswith(".pkl.tmp")
+        ]
         version = (snaps[-1][0] + 1) if snaps else max(batch_id, 0)
         tmp = jvm.org.apache.hadoop.fs.Path(dirp, f"state.b{version}.pkl.tmp")
         final = jvm.org.apache.hadoop.fs.Path(dirp, f"state.b{version}.pkl")
@@ -146,14 +178,13 @@ class SketchStateStore:
                 "previous snapshot left intact, batch NOT committed"
             )
         # opportunistic cleanup of superseded snapshots (keep the latest)
-        # and of stale temp files from crashed earlier saves
-        for v, path in self._snapshots(jvm, fs, dirp):
+        # and of stale temp files from crashed earlier saves — both from
+        # the single pre-write listing above
+        for v, path in snaps:
             if v < version:
                 fs.delete(path, False)
-        for st in fs.listStatus(dirp):
-            name = st.getPath().getName()
-            if name.endswith(".pkl.tmp") and name != f"state.b{version}.pkl.tmp":
-                fs.delete(st.getPath(), False)
+        for path in stale_tmps:
+            fs.delete(path, False)
 
     def sketches(self, specs: list[SketchSpec], group: tuple = ()) -> dict:
         states, _ = self.load()
@@ -163,6 +194,34 @@ class SketchStateStore:
     def groups(self) -> list[tuple]:
         states, _ = self.load()
         return sorted(states.keys())
+
+
+def checkpoint_identity(spark, checkpoint_dir: str) -> str:
+    """Identity of the batch-id numbering EPOCH: the streaming query id
+    persisted in ``<checkpoint>/metadata`` (written at query start,
+    stable across restarts of the same checkpoint, regenerated when the
+    dir is wiped). Replay guards must key on this, not the checkpoint
+    PATH — a wiped-and-recreated dir keeps its path but renumbers batch
+    ids from 0, and a path-keyed guard would then silently discard every
+    new batch up to the old lineage's last id (code-review r5; the r4
+    path guard only caught different-path resets). Falls back to the
+    path when no metadata exists (e.g. direct batch replays outside a
+    streaming query)."""
+    try:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(checkpoint_dir, "metadata")
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        stream = fs.open(p)
+        try:
+            text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        import json
+
+        qid = json.loads(text).get("id")
+        return f"{checkpoint_dir}#{qid}" if qid else checkpoint_dir
+    except Exception:
+        return checkpoint_dir
 
 
 def sketch_stream(
@@ -180,8 +239,14 @@ def sketch_stream(
         # foreachBatch runs on a py4j callback thread where
         # getActiveSession may be unset — bind the batch's session
         store._spark = batch_df.sparkSession
-        states, last = store.load()
-        if batch_id <= last:
+        states, last, lin = store.load_full()
+        lineage = checkpoint_identity(batch_df.sparkSession, checkpoint_dir)
+        # the replay skip only applies within the same numbering epoch:
+        # after a checkpoint reset (wiped dir, new query id) batch ids
+        # renumber from 0 and must NOT be treated as replays. Snapshots
+        # from before the lineage field (lin None) keep the old
+        # skip-on-id behavior.
+        if batch_id <= last and (lin is None or lin == lineage):
             return  # replayed batch: idempotent skip
         res = sketch_table(batch_df, specs)
         blobs = states.get((), {})
@@ -189,7 +254,7 @@ def sketch_stream(
             blobs[s.state_col] = merge_blobs(blobs.get(s.state_col), res.sketches[s.name].to_bytes())
         blobs["n_rows"] = blobs.get("n_rows", 0) + res.n_rows
         states[()] = blobs
-        store.save(states, batch_id)
+        store.save(states, batch_id, lineage=lineage)
 
     writer = sdf.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint_dir)
     if trigger:
@@ -213,9 +278,10 @@ def windowed_sketch_stream(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         store._spark = batch_df.sparkSession  # py4j callback thread
-        states, last = store.load()
-        if batch_id <= last:
-            return
+        states, last, lin = store.load_full()
+        lineage = checkpoint_identity(batch_df.sparkSession, checkpoint_dir)
+        if batch_id <= last and (lin is None or lin == lineage):
+            return  # replay within the same numbering epoch only
         win = batch_df.withColumn(
             "__win", F.date_trunc("hour", F.col(ts_col)) if window == "1 hour" else F.window(ts_col, window)["start"]
         )
@@ -232,7 +298,7 @@ def windowed_sketch_stream(
                 blobs[s.state_col] = merge_blobs(blobs.get(s.state_col), r[s.state_col])
             blobs["n_rows"] = blobs.get("n_rows", 0) + r["n_rows"]
             states[key] = blobs
-        store.save(states, batch_id)
+        store.save(states, batch_id, lineage=lineage)
 
     writer = sdf.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint_dir)
     if trigger:

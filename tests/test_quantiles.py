@@ -295,3 +295,18 @@ def test_tdigest_reads_v1_blobs():
     # and it merges with a v2 sketch
     merged = old.merge(TDigest.from_bytes(td.to_bytes()))
     assert merged.n == 20_000
+
+
+def test_tdigest_eq_includes_extremes_and_weight_guards():
+    """vmin/vmax are state (quantile(0)/quantile(1)/cdf read them; the
+    wire serializes them): digests with identical centroids but
+    different extremes must not compare equal. Weights are validated at
+    the ingestion boundary like build.py's count columns."""
+    x, y = TDigest(10.0), TDigest(10.0)
+    x.update_values(np.array([0, 2, 4, 6, 10, 12, 14, 16], dtype=float))
+    y.update_values(np.array([0.5, 1.5, 4, 6, 10, 12, 14, 16], dtype=float))
+    assert x != y  # same centroids after collapse, different vmin
+    with pytest.raises(ValueError, match="finite"):
+        TDigest().update_values(np.array([1.0, 2.0]), np.array([1.0, np.nan]))
+    with pytest.raises(ValueError, match=">= 0"):
+        TDigest().update_values(np.array([1.0]), np.array([-5.0]))

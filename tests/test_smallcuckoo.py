@@ -289,3 +289,41 @@ def test_cross_layout_merge_and_eq_symmetry():
     assert small == res2 and res2 == small  # symmetric across siblings
     assert res2.push("extra")
     assert (small == res2) == (res2 == small) == False
+
+
+def test_pack_unpack_chunked_wire_identical():
+    """pack_payload/from_bytes process the bit expansion in bounded
+    chunks (code-review r5: the one-shot (buckets x bits) uint64
+    temporary cost ~64x the payload). Any chunk setting must produce the
+    SAME wire bytes and decode back canonically."""
+    from probably_jl_spark.sketches import smallcuckoo as sc
+
+    f = SmallCuckooFilter(1 << 10, 12)
+    rng = np.random.RandomState(0)
+    hs = rng.randint(0, 2**63, 600).astype(np.uint64)
+    f.update_hashes(hs)
+    one = f.to_bytes()
+    try:
+        for ch in (2, 3, 6, 10, 1 << 20):
+            sc._PACK_CHUNK = ch
+            assert f.to_bytes() == one
+            g = SmallCuckooFilter.from_bytes(one)
+            assert g.to_bytes() == one
+            assert bool(g.contains_hashes(hs).all())
+    finally:
+        sc._PACK_CHUNK = 1 << 20
+
+
+def test_resident_eq_includes_ejected_index():
+    from probably_jl_spark.sketches.smallcuckoo import ResidentSmallCuckoo
+
+    """Same law as CuckooFilter.__eq__ (pop! re-pushes the ejected fp at
+    its recorded index; the wire serializes it): resident filters
+    differing only in ejected_index are NOT equal."""
+    a = ResidentSmallCuckoo(8, 12)
+    b = ResidentSmallCuckoo(8, 12)
+    a.ejected, a.ejected_index = 5, 1
+    b.ejected, b.ejected_index = 5, 2
+    assert a != b and hash(a) != hash(b)
+    b.ejected_index = 1
+    assert a == b and hash(a) == hash(b)

@@ -389,3 +389,64 @@ def test_near_seen_before_stream_fuzzy(spark, tmp_path):
     q3.awaitTermination(120)
     assert len(spark.read.parquet(out_dir).toPandas()) == 7
     assert near_seen_stats(state, spark)["n_kept"] == 7
+
+
+def test_same_path_checkpoint_wipe_processes_renumbered_batches(spark, dirs):
+    """Wiping the checkpoint dir AT THE SAME PATH renumbers batch ids
+    from 0. The replay guard keys on the query id persisted in
+    <ckpt>/metadata (regenerated by the wipe), so the renumbered NEW data
+    must still be processed (code-review r5: a path-keyed guard silently
+    discarded every batch up to the old lineage's last id)."""
+    ev, chunk_b = _feed_in_two_chunks(spark, dirs["in"])
+    schema = ev.schema
+    q = sketch_stream(
+        spark.readStream.schema(schema).parquet(dirs["in"]),
+        SPECS, dirs["state"], dirs["ckpt"], trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    store = SketchStateStore(dirs["state"])
+    states, last = store.load()
+    n_before = states[()]["n_rows"]
+    assert n_before > 0
+
+    # same-path reset: wipe the checkpoint, keep the state dir, feed new
+    # data — the restarted query renumbers batches from 0 (<= last)
+    shutil.rmtree(dirs["ckpt"])
+    chunk_b.coalesce(1).write.mode("append").parquet(dirs["in"])
+    q2 = sketch_stream(
+        spark.readStream.schema(schema).parquet(dirs["in"]),
+        SPECS, dirs["state"], dirs["ckpt"], trigger={"availableNow": True},
+    )
+    q2.awaitTermination(120)
+    states2, _ = store.load()
+    # the wiped checkpoint re-delivers ALL files; content re-merges are
+    # idempotent for HLL, and n_rows grows (new data was not discarded)
+    assert states2[()]["n_rows"] > n_before
+    batch = sketch_table(ev, SPECS)
+    assert (
+        SketchStateStore(dirs["state"]).sketches(SPECS)["users"].to_bytes()
+        == batch.sketches["users"].to_bytes()
+    )
+
+
+def test_seen_before_duplicate_rows_within_batch(spark, tmp_path):
+    """A batch carrying the same (doc_id, text) on TWO physical rows must
+    sink exactly ONE kept row (code-review r5: the (hash, id) semi-join
+    matched both copies — a kept duplicate, the one error direction the
+    operator promises never to make)."""
+    from probably_jl_spark.streaming.dedup_stream import process_seen_batch
+
+    store = SketchStateStore(str(tmp_path / "state"), spark)
+    kept = []
+
+    def sink(df, batch_id):
+        kept.extend(df.collect())
+
+    batch = spark.createDataFrame(
+        [(7, "T"), (7, "T"), (8, "U")], "doc_id long, text string"
+    )
+    process_seen_batch(batch, 0, store, str(tmp_path / "ckpt"), sink)
+    texts = sorted(r["text"] for r in kept)
+    assert texts == ["T", "U"], texts
+    states, _ = store.load()
+    assert states[()]["n_kept"] == 2 and states[()]["n_rows"] == 3
