@@ -75,6 +75,34 @@ def _expect(sk, kinds, fn_name: str):
     return sk
 
 
+def _pair_cache(fn):
+    """Apply fn once per distinct (a, b) blob PAIR in the batch, decoding
+    each distinct blob once — the two-column twin of ``_blob_cache``
+    below. The documented pjs_* pattern joins a few grouped states
+    against many rows, so without this the set-op functions paid a full
+    sketch decode per ROW (code-review r5: the module docstring promised
+    the cache, pjs_merge/intersection/difference/jaccard didn't have it)."""
+
+    def apply(a: pd.Series, b: pd.Series) -> list:
+        dec: dict[bytes, object] = {}
+        res: dict[tuple, object] = {}
+        out = []
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                out.append(None)
+                continue
+            key = (bytes(x), bytes(y))
+            if key not in res:
+                for k in key:
+                    if k not in dec:
+                        dec[k] = sketch_from_bytes(k)
+                res[key] = fn(dec[key[0]], dec[key[1]])
+            out.append(res[key])
+        return out
+
+    return apply
+
+
 def _blob_cache(fn):
     """Apply fn once per distinct blob in the batch."""
 
@@ -170,51 +198,48 @@ def register_sketch_sql_functions(spark: SparkSession, prefix: str = "pjs_") -> 
 
     @F.pandas_udf("binary")
     def _merge(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                merge_blobs(None if x is None else bytes(x), None if y is None else bytes(y))
-                for x, y in zip(a, b)
-            ]
-        )
+        # one merge per distinct blob PAIR per batch (None = identity,
+        # exactly merge_blobs' contract) — no decode round-trip, so the
+        # output bytes are untouched merge_blobs output
+        res: dict[tuple, object] = {}
+        out = []
+        for x, y in zip(a, b):
+            key = (None if x is None else bytes(x), None if y is None else bytes(y))
+            if key not in res:
+                res[key] = merge_blobs(key[0], key[1])
+            out.append(res[key])
+        return pd.Series(out)
+
+    def _inter(sa, sb):
+        from . import intersection_cardinality
+
+        return float(intersection_cardinality(sa, sb))
+
+    def _diff(sa, sb):
+        from . import difference_cardinality
+
+        return float(difference_cardinality(sa, sb))
+
+    def _jac(sa, sb):
+        _expect(sa, (KMV,), "pjs_jaccard")
+        _expect(sb, (KMV,), "pjs_jaccard")
+        return float(sa.jaccard(sb))
+
+    _inter_pair, _diff_pair, _jac_pair = map(_pair_cache, (_inter, _diff, _jac))
 
     @F.pandas_udf("double")
     def _intersection(a: pd.Series, b: pd.Series) -> pd.Series:
-        from . import intersection_cardinality
-
-        out = []
-        for x, y in zip(a, b):
-            if x is None or y is None:
-                out.append(None)
-            else:
-                out.append(float(intersection_cardinality(bytes(x), bytes(y))))
-        return pd.Series(out, dtype="Float64")
+        return pd.Series(_inter_pair(a, b), dtype="Float64")
 
     @F.pandas_udf("double")
     def _difference(a: pd.Series, b: pd.Series) -> pd.Series:
-        from . import difference_cardinality
-
-        out = []
-        for x, y in zip(a, b):
-            if x is None or y is None:
-                out.append(None)
-            else:
-                out.append(float(difference_cardinality(bytes(x), bytes(y))))
-        return pd.Series(out, dtype="Float64")
+        return pd.Series(_diff_pair(a, b), dtype="Float64")
 
     @F.pandas_udf("double")
     def _jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
         # per-group-PAIR overlap: join two grouped-KMV state tables and
         # score tool-set / vocabulary similarity between groups in SQL
-        out = []
-        for x, y in zip(a, b):
-            if x is None or y is None:
-                out.append(None)
-                continue
-            sa, sb = sketch_from_bytes(bytes(x)), sketch_from_bytes(bytes(y))
-            _expect(sa, (KMV,), "pjs_jaccard")
-            _expect(sb, (KMV,), "pjs_jaccard")
-            out.append(float(sa.jaccard(sb)))
-        return pd.Series(out, dtype="Float64")
+        return pd.Series(_jac_pair(a, b), dtype="Float64")
 
     names = []
     for name, udf in (

@@ -63,12 +63,21 @@ def quality_milliscore(col) -> Column:
     return F.floor(score * 1000).cast("long")
 
 
+TOKEN_COUNT_SQL = (
+    "LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM({c}), '\\s+'), x -> x <> ''))"
+)
+"""DuckDB rendering of token_count. The LIST_FILTER mirrors tokens()'s
+empty-piece filter: without it a trailing newline ('hello\\n' -> pieces
+['hello','']) or a blank text counts one phantom token, diverging from
+the Spark side exactly at the clean_corpus min_tokens boundary
+(code-review r5)."""
+
 QUALITY_MILLISCORE_SQL = (
     "CAST(FLOOR(("
     "0.5 * LEAST(LENGTH({c}) / 500.0, 1.0)"
     " + 0.3 * (1.0 - (LENGTH({c}) - LENGTH(REGEXP_REPLACE({c}, '[^\\w\\s]', '', 'g')))"
     " / GREATEST(LENGTH({c}), 1))"
-    " + 0.2 * LEAST(LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM({c}), '\\s+')) / 80.0, 1.0)"
+    " + 0.2 * LEAST(" + TOKEN_COUNT_SQL + " / 80.0, 1.0)"
     ") * 1000) AS BIGINT)"
 )
 """DuckDB rendering of quality_milliscore for exact oracle comparison."""

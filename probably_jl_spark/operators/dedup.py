@@ -117,6 +117,10 @@ def lsh_candidate_pairs(
     materialize: str = "local",
 ) -> DataFrame:
     """Candidate (id_a, id_b) pairs sharing >= 1 LSH band bucket.
+    ``bands >= 1`` and ``rows_per_band >= 1`` are validated: a zero
+    rows_per_band would make every band hash the hash of an EMPTY slice
+    (one global bucket per band — silent recall collapse under the cap,
+    or a full O(n^2) self-join without it; code-review r5).
     Explodes each signature into `bands` (band_idx, band_hash) rows and
     self-joins on the bucket — the shuffle ships 16 bytes per band, never
     the documents.
@@ -149,6 +153,11 @@ def lsh_candidate_pairs(
     does not reuse exchanges across branches."""
     from .materialize import materialize as _mat
 
+    if bands < 1 or rows_per_band < 1:
+        raise ValueError(
+            f"lsh_candidate_pairs: bands ({bands}) and rows_per_band "
+            f"({rows_per_band}) must be >= 1"
+        )
     bandcols = F.array(
         *[
             F.xxhash64(
@@ -226,6 +235,12 @@ def minhash_near_dups(
     corpora; over-cap buckets collapse to a verified representative star
     instead of silently dropping members (see lsh_candidate_pairs, which
     also documents the semi-eager materialization the cap implies)."""
+    if n_hashes < bands:
+        # n_hashes // bands == 0 would hash EMPTY signature slices — one
+        # global bucket per band, silent recall collapse (code-review r5)
+        raise ValueError(
+            f"minhash_near_dups: n_hashes ({n_hashes}) must be >= bands ({bands})"
+        )
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
     cands = lsh_candidate_pairs(
         sigs, id_col, bands, n_hashes // bands, max_bucket_size, materialize
@@ -291,11 +306,14 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     that reappears within a partition raises instead of silently emitting
     wrong simhashes (cross-partition duplicates are undetectable without
     a shuffle and remain the caller's contract)."""
+    from ..functions.text import tokens
+
+    # ONE tokenizer for the whole library (functions/text.py::tokens):
+    # simhash must count the same tokens as token_count/stopword_ratio
+    # or the two tokenizations silently desynchronize (code-review r5)
     tok = df.select(
         F.col(id_col),
-        F.explode(F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")).alias(
-            "__tok"
-        ),
+        F.explode(tokens(text_col)).alias("__tok"),
     ).select(F.col(id_col), F.xxhash64("__tok").alias("__h"))
 
     def fold(batches):

@@ -39,6 +39,19 @@ def _hash_hex(key_cols: list[str], seed: int):
     return F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 8)
 
 
+def _hash_hex_full(key_cols: list[str], seed: int):
+    """Full 32-hex-char md5 of the same sentinel-coalesced concat — the
+    SORT key for quota sampling. The 8-char prefix above is fine as a
+    rate GATE but as an order key it collides at ~2^16 rows per group
+    (birthday), silently punting the choice to the key-column tiebreak
+    (code-review r5); 128 bits makes the 'ties only on identical keys'
+    claim true."""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x01")) for c in key_cols
+    ] + [F.lit(str(seed))]
+    return F.md5(F.concat_ws("\x1f", *parts))
+
+
 def sample_threshold_hex(rate: float) -> str:
     """8-char prefix P such that md5-prefix < P keeps ~rate of rows.
     rate=1.0 returns 'g'*8: 'g' sorts after every hex digit, so the gate
@@ -72,14 +85,18 @@ def stratified_take(
     seed: int = 0,
 ) -> DataFrame:
     """At most ``n_per_group`` rows per group, deterministically chosen
-    by hash order (ties impossible up to md5 collisions; key ordering is
-    content-derived, not partition-derived). One exchange on the group
-    key; at 100 TB prefer group keys with bounded fan-in or pre-filter
-    with ``hash_sample`` to cap the window input."""
+    by hash order (full 128-bit md5 sort key, so ties require identical
+    ``key_cols`` content up to md5 collisions; key ordering is
+    content-derived, not partition-derived). Rows IDENTICAL in key_cols
+    are interchangeable — which physical copy is kept is not pinned, so
+    ``key_cols`` should uniquely identify rows when payload columns
+    matter. One exchange on the group key; at 100 TB prefer group keys
+    with bounded fan-in or pre-filter with ``hash_sample`` to cap the
+    window input."""
     if n_per_group < 1:
         raise ValueError("n_per_group must be >= 1")
     w = Window.partitionBy(*group_cols).orderBy(
-        _hash_hex(key_cols, seed), *[F.col(c) for c in key_cols]
+        _hash_hex_full(key_cols, seed), *[F.col(c) for c in key_cols]
     )
     return (
         df.withColumn("__rk", F.row_number().over(w))

@@ -1400,7 +1400,7 @@ def training_oracles() -> dict:
         "stratified_docs_by_lang": (
             "SELECT lang, doc_id FROM documents QUALIFY ROW_NUMBER() OVER ("
             "PARTITION BY lang ORDER BY "
-            "substring(md5(concat_ws(chr(31), coalesce(CAST(doc_id AS VARCHAR), chr(1)), '7')), 1, 8), "
+            "md5(concat_ws(chr(31), coalesce(CAST(doc_id AS VARCHAR), chr(1)), '7')), "
             "doc_id) <= 20"
         ),
         "clean_corpus_docs": (
@@ -1408,7 +1408,7 @@ def training_oracles() -> dict:
             "UNION ALL SELECT doc_id + 100000, text, lang FROM "
             "(SELECT * FROM documents ORDER BY doc_id LIMIT 5)), "
             "stats AS (SELECT doc_id, text, lang, "
-            "CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens, "
+            "CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens, "
             f"{QUALITY_MILLISCORE_SQL.format(c='text')} AS quality_milli FROM aug), "
             "kept AS (SELECT * FROM stats WHERE n_tokens BETWEEN 5 AND 10000 "
             "AND quality_milli >= 300 AND lang IN ('en', 'fr')) "
@@ -1453,7 +1453,7 @@ def training_oracles() -> dict:
             "UNION ALL SELECT 400000 + r.range AS doc_id FROM range(5) r"
         ),
         "token_count_docs": (
-            "SELECT doc_id, CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "
+            "SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) "
             "AS n_tokens FROM documents"
         ),
         "quality_score_docs": (

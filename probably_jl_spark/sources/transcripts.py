@@ -36,9 +36,13 @@ _WORDS = (
 
 
 def read_transcripts(spark: SparkSession, source: str) -> DataFrame:
-    """Read the transcripts table: an Iceberg/catalog table name (contains
-    no '/') or a parquet path."""
-    if "/" in source:
+    """Read the transcripts table: a path (anything with a separator or a
+    .parquet suffix — a bare '/' test misrouted relative filenames like
+    'transcripts.parquet' into the catalog; code-review r5) or an
+    Iceberg/catalog table name otherwise."""
+    import os
+
+    if "/" in source or os.sep in source or source.endswith(".parquet"):
         return spark.read.parquet(source)
     return spark.read.table(source)
 
@@ -107,8 +111,24 @@ def synth_transcripts(
         F.to_timestamp(
             F.from_unixtime(
                 F.col("conv_start")
-                # cumulative-ish per-turn gap: turn_idx * deterministic lognormal-ish gap
-                + F.col("turn_idx") * (F.lit(1) + F.pmod(h(7), F.lit(300)))
+                # TRUE cumulative per-turn gaps: sum of the i-th turn's
+                # deterministic 1..300s gap for i=1..turn_idx, so ts is
+                # strictly monotone within a conversation. The old
+                # turn_idx * gap(turn_idx) re-drew the gap per turn and
+                # produced non-monotone ts — with_latency read NEGATIVE
+                # latencies off the fixture (code-review r5). sequence()
+                # would count DOWN for turn_idx=0, hence the guard.
+                + F.when(F.col("turn_idx") < 1, F.lit(0).cast("long")).otherwise(
+                    F.aggregate(
+                        F.sequence(F.lit(1), F.col("turn_idx")),
+                        F.lit(0).cast("long"),
+                        lambda acc, i: acc
+                        + 1
+                        + F.pmod(
+                            F.xxhash64("cidx", i, F.lit(seed), F.lit(7)), F.lit(300)
+                        ),
+                    )
+                )
             )
         ).alias("ts"),
     )

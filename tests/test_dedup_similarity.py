@@ -730,3 +730,16 @@ def test_ivf_max_list_size_bounds_shards_same_results(spark, emb):
     # hash split is probabilistic: allow 2x headroom over the cap
     assert sizes.max() <= 200, f"max shard size {sizes.max()}"
     assert jk == ["list_id", "shard"]
+
+
+def test_minhash_band_geometry_validated(spark):
+    """n_hashes < bands would hash EMPTY signature slices (one global
+    bucket per band — silent recall collapse); it must raise instead
+    (code-review r5)."""
+    from probably_jl_spark.operators.dedup import lsh_candidate_pairs, minhash_near_dups
+
+    df = spark.createDataFrame([(1, "some text here")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_hashes"):
+        minhash_near_dups(df, n_hashes=8, bands=16)
+    with pytest.raises(ValueError, match="rows_per_band"):
+        lsh_candidate_pairs(df.selectExpr("doc_id", "array(1L) as sig"), rows_per_band=0)

@@ -740,3 +740,15 @@ def test_negative_count_column_raises(spark):
             df,
             [SketchSpec("f", "cms", key_cols=("k",), count_col="cnt")],
         )
+
+
+def test_synth_transcripts_monotone_ts(spark):
+    """Timestamps are strictly monotone within a conversation (true
+    cumulative gaps): with_latency over the fixture must never read a
+    negative latency (code-review r5: turn_idx * re-drawn gap was
+    non-monotone)."""
+    from probably_jl_spark.sources.transcripts import with_latency
+
+    tr = synth_transcripts(spark, n_convs=300, seed=42)
+    neg = with_latency(tr).filter("latency_sec < 0").count()
+    assert neg == 0

@@ -316,3 +316,33 @@ def test_clean_corpus_map_mode_identical_and_narrow(spark):
 
     with pytest.raises(ValueError, match="rows.*map|map.*rows|dedup"):
         clean_corpus(fresh, dedup="bogus")
+
+
+def test_token_count_oracle_matches_on_whitespace_edges(spark):
+    """The DuckDB token-count rendering must equal Spark's tokens() on
+    the edge cases that diverged before the LIST_FILTER fix (trailing
+    newline counted a phantom token — code-review r5): blank, whitespace-
+    only, trailing/leading tabs and newlines."""
+    import duckdb
+
+    from probably_jl_spark.functions.text import (
+        QUALITY_MILLISCORE_SQL,
+        TOKEN_COUNT_SQL,
+        quality_milliscore,
+    )
+
+    texts = ["hello\n", "", "  ", "a b  c", "\tx y\n", "one", " spaced ", "\n\n"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = (
+        df.select(token_count("text").alias("n"), quality_milliscore("text").alias("q"))
+        .toPandas()
+    )
+    con = duckdb.connect()
+    vals = ", ".join("(" + repr(t).replace("\\n", "' || chr(10) || '").replace("\\t", "' || chr(9) || '") + ")" for t in texts)
+    want = con.execute(
+        f"SELECT {TOKEN_COUNT_SQL.format(c='text')} AS n, "
+        f"{QUALITY_MILLISCORE_SQL.format(c='text')} AS q "
+        f"FROM (VALUES {vals}) t(text)"
+    ).df()
+    assert got["n"].tolist() == want["n"].tolist(), (got["n"].tolist(), want["n"].tolist())
+    assert got["q"].tolist() == want["q"].tolist()
