@@ -19,14 +19,45 @@ STOPWORDS = {
 }
 
 
+def raw_pieces(col) -> Column:
+    """``split(trim(text), '\\s+')`` — the pre-filter pieces behind
+    ``tokens()``/``token_count()``. After ``trim`` (which strips spaces
+    only) an empty piece can appear ONLY at the ends, from leading or
+    trailing non-space whitespace (``'hello\\n'`` -> ``['hello','']``);
+    interior pieces are never empty because the split pattern is a
+    maximal ``\\s+`` run. Exposed so exploding consumers (simhash) can
+    apply the not-empty filter AFTER a codegen ``explode`` instead of
+    through the interpreted ArrayFilter lambda — same tokens, one
+    tokenizer."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
 def tokens(col) -> Column:
     """Whitespace tokens of a text column (empty array for blank text)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+    return F.filter(raw_pieces(col), lambda t: t != "")
+
+
+_WS_CHARS = [" ", "\t", "\n", "\x0b", "\f", "\r"]  # Java regex \s
 
 
 def token_count(col) -> Column:
-    return F.size(tokens(col))
+    """``size(tokens(col))`` computed without the higher-order
+    ArrayFilter: HOF lambdas are CodegenFallback expressions, so one of
+    them anywhere in a projection/filter knocks the WHOLE stage out of
+    whole-stage codegen (measured 2.5x on the clean_corpus filter,
+    OPTIMIZATION_r06.md). Empty pieces of ``raw_pieces`` occur only at
+    the two ends (see its docstring), so the filtered size is the raw
+    size minus an end correction — value-identical for every string
+    (gated by test_token_count_oracle_matches_on_whitespace_edges and a
+    5M-doc equivalence sweep)."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    first_ws = F.substring(t, 1, 1).isin(_WS_CHARS).cast("int")
+    last_ws = F.substring(t, -1, 1).isin(_WS_CHARS).cast("int")
+    return F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+")) - first_ws - last_ws
+    )
 
 
 def bpe_ish_token_count(col) -> Column:
@@ -155,7 +186,7 @@ def clean_corpus(
       ~1.8x faster (md5 + the second source read cost more than
       shuffling short rows) — map mode is the wide-document path, not a
       universal win."""
-    from ..operators.dedup import exact_dedup, exact_dedup_map
+    from ..operators.dedup import exact_dedup_map
 
     if dedup not in ("rows", "map"):
         raise ValueError(f"dedup must be 'rows' or 'map', got {dedup!r}")
@@ -175,5 +206,22 @@ def clean_corpus(
             F.col("rep_id").alias(id_col)
         )
         return kept.join(keep_ids, id_col, "leftsemi")
-    deduped = exact_dedup(kept, id_col=id_col, text_col=text_col)
-    return deduped.filter(F.col("rep_id") == F.col(id_col)).drop("rep_id")
+    # rows mode: keep the min-id row per distinct text. One
+    # groupBy(text) + min_by(full row, id) — a hash aggregate with
+    # map-side partials (dup rows collapse BEFORE the exchange) instead
+    # of exact_dedup's Window, which shuffled AND sorted every surviving
+    # row only to discard the non-representatives right after
+    # (guide §2.3 "aggregate before you shuffle"; r6: window 12s ->
+    # agg 5s on 5M docs). Row-identical to the Window path: ids are
+    # unique, so min_by picks exactly the rep row (null texts cannot
+    # reach here — the n_tokens/quality predicates reject them).
+    others = [c for c in kept.columns if c != text_col]
+    rep = kept.groupBy(text_col).agg(
+        F.min_by(F.struct(*[F.col(c) for c in others]), F.col(id_col)).alias("__rep")
+    )
+    return rep.select(
+        *[
+            F.col(text_col) if c == text_col else F.col(f"__rep.{c}").alias(c)
+            for c in kept.columns
+        ]
+    )
