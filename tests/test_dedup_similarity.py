@@ -743,3 +743,44 @@ def test_minhash_band_geometry_validated(spark):
         minhash_near_dups(df, n_hashes=8, bands=16)
     with pytest.raises(ValueError, match="rows_per_band"):
         lsh_candidate_pairs(df.selectExpr("doc_id", "array(1L) as sig"), rows_per_band=0)
+
+
+def test_ann_ivf_fused_equals_join(spark, emb):
+    """The r6 fused small-query IVF route (one corpus pass, broadcast
+    probe lists, partition-local rerank) must return EXACTLY the join
+    path's rows — same candidates, bit-equal sims, same ranks."""
+    from probably_jl_spark.operators.similarity import ann_topk_ivf
+
+    queries = emb.filter("vec_id < 10")
+    fused = ann_topk_ivf(
+        emb, queries, dim=64, k=5, n_centroids=16, nprobe=8
+    ).toPandas()
+    join = ann_topk_ivf(
+        emb, queries, dim=64, k=5, n_centroids=16, nprobe=8, fused_max_queries=0
+    ).toPandas()
+    f = fused.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    j = join.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert f[["query_id", "neighbor_id", "rank"]].equals(
+        j[["query_id", "neighbor_id", "rank"]]
+    )
+    assert (f["sim"].to_numpy() == j["sim"].to_numpy()).all()
+
+
+def test_collect_queries_cap_raises(spark):
+    """The ANN entry points collect the query side by contract; a
+    corpus-sized query set must fail loudly, not OOM the driver
+    (VERDICT r5 #5)."""
+    import pytest as _pytest
+
+    from probably_jl_spark.operators import similarity as sim
+
+    big = spark.range(50).selectExpr(
+        "id AS vec_id", "array(cast(id AS float)) AS embedding"
+    )
+    old = sim._MAX_QUERY_ROWS
+    sim._MAX_QUERY_ROWS = 10
+    try:
+        with _pytest.raises(ValueError, match="query side exceeds"):
+            sim._collect_queries(big, "vec_id", "embedding")
+    finally:
+        sim._MAX_QUERY_ROWS = old
