@@ -397,6 +397,56 @@ def _vec_merge_builder(specs: list[SketchSpec], group_cols: list[str], kernel):
     return fn
 
 
+def _vec_direct_builder(specs: list[SketchSpec], group_cols: list[str], col_map: dict, kernel):
+    """Post-shuffle single-pass build for the vectorized kinds: raw
+    (group, hash) rows arrive hash-partitioned on the group columns, so
+    every group is complete within the partition and the kernel emits
+    FINAL states directly — no partial-state emit, no state exchange, no
+    blob decode. Used when map-side pre-aggregation cannot pay (see
+    ``grouped_sketch``): at ~1 row per (group, partition) the partial
+    route wraps and re-parses one blob per INPUT row."""
+
+    def fn(batches):
+        keys_index = None
+        n_rows = np.empty(0, dtype=np.int64)
+        accs = {s.name: kernel.init_acc() for s in specs}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arrays = batch_arrays(pdf, specs, col_map)
+            g, keys_index = _group_codes(pdf, group_cols, keys_index)
+            if len(keys_index) > n_rows.size:
+                n_rows = np.concatenate(
+                    [n_rows, np.zeros(len(keys_index) - n_rows.size, dtype=np.int64)]
+                )
+            n_rows += np.bincount(g, minlength=n_rows.size)
+            for s in specs:
+                accs[s.name] = kernel.absorb_rows(accs[s.name], s, g, arrays[s.name][0])
+        if keys_index is not None and len(keys_index):
+            yield _emit_state_rows(specs, group_cols, kernel, keys_index, n_rows, accs, None)
+
+    return fn
+
+
+def _preagg_dedup_ratio(prepared: DataFrame, group_cols: list[str], sample_rows: int) -> float:
+    """Distinct-group fraction of a bounded row sample — the decision
+    input for the vectorized route: map-side partials shrink the state
+    exchange by roughly this factor's inverse, so a ratio near 1 means
+    pre-aggregation only adds work. ``limit`` reads just enough leading
+    partitions to fill the sample (one tiny job, no full scan), which is
+    exactly the within-partition locality the partial builder would see."""
+    row = (
+        prepared.select(*group_cols)
+        .limit(sample_rows)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(*[F.col(c) for c in group_cols]).alias("d"),
+        )
+        .collect()[0]
+    )
+    return row["d"] / max(row["n"], 1)
+
+
 def _merge_groups(specs: list[SketchSpec], group_cols: list[str], with_ord: bool):
     """applyInPandas fn over state rows: deterministic (partition-ordered)
     per-key merge. Emits `_ORD_COL` = min input ord when feeding another
@@ -474,6 +524,7 @@ def grouped_sketch(
     salt_cols: list[str] | None = None,  # obsolete, ignored (see module doc)
     salt_seed: int = 0xBEEF,
     max_states_per_partition: int = 1 << 16,
+    pre_partial: bool | None = None,
 ) -> DataFrame:
     """Per-group sketch states: returns one row per group with
     ``group_cols + [n_rows] + state_<name> binary`` columns.
@@ -491,12 +542,39 @@ def grouped_sketch(
     per-key fan-in limit, so ``salt_buckets`` is moot there). Same bytes
     out; the dispatch exists because a billion-group build (north_star:
     distinct tools per conv_id) is output-bound, not group-loop-bound,
-    on this path."""
+    on this path.
+
+    ``pre_partial`` picks the vectorized route's stage-1 shape (r6,
+    guide §2.3 "aggregate before you shuffle" — which cuts BOTH ways):
+
+    * ``True``: map-side partial states (the r5 plan) — right when each
+      scan partition repeats its group keys, so partials shrink the
+      exchange (low-cardinality keys, clustered layouts).
+    * ``False``: shuffle the raw (group, hash) projection once and build
+      FINAL states in a single post-shuffle pass. At group cardinality
+      near the row count (the 20M-conv bench shape, rows scattered by a
+      round-robin write) the partial route wraps, exchanges, and
+      re-parses ~one state blob per INPUT row — measured 69s vs 31s.
+    * ``None`` (default): decide from a bounded distinct-ratio sample of
+      the scan (``_preagg_dedup_ratio``; > 0.5 distinct per sampled row
+      =>> direct). One tiny ``limit`` job; never a full scan.
+
+    Both shapes emit byte-identical states — HLL/KMV states are pure set
+    functions of the hashes seen (gated by
+    test_grouped_direct_route_byte_identical)."""
     kinds = {s.kind for s in specs}
     if len(kinds) == 1 and next(iter(kinds)) in _VEC_KERNELS:
         kernel = _VEC_KERNELS[next(iter(kinds))](specs)
         spec_cols, col_map = plan_columns(specs)
         prepared = df.select(*[F.col(c) for c in group_cols], *spec_cols)
+        if pre_partial is None:
+            pre_partial = _preagg_dedup_ratio(prepared, group_cols, 200_000) <= 0.5
+        if not pre_partial:
+            out_schema = _grouped_schema(prepared, group_cols, specs, with_ord=False)
+            return prepared.repartition(*group_cols).mapInPandas(
+                _vec_direct_builder(specs, group_cols, col_map, kernel),
+                schema=out_schema,
+            )
         partials = prepared.mapInPandas(
             _vec_partial_builder(specs, group_cols, col_map, max_states_per_partition, kernel),
             schema=_grouped_schema(prepared, group_cols, specs, with_ord=True),

@@ -170,7 +170,12 @@ class CheckpointedSketchBuild:
             # the write populates the cache, and `produced` below reads
             # the cached result instead of a second full source scan
             # (code-review r5 — resume paid 2x source I/O)
-            per_bucket = grouped_sketch(bucketed, [BUCKET_COL], self.specs).persist()
+            # pre_partial pinned: bucket keys are coarse by construction,
+            # so the map-side-partial shape is always right here and the
+            # default's cardinality-sample job is skipped
+            per_bucket = grouped_sketch(
+                bucketed, [BUCKET_COL], self.specs, pre_partial=True
+            ).persist()
             try:
                 attempt = uuid.uuid4().hex[:12]
                 out = per_bucket.withColumn("attempt", F.lit(attempt))

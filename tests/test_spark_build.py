@@ -752,3 +752,35 @@ def test_synth_transcripts_monotone_ts(spark):
     tr = synth_transcripts(spark, n_convs=300, seed=42)
     neg = with_latency(tr).filter("latency_sec < 0").count()
     assert neg == 0
+
+
+def test_grouped_direct_route_byte_identical(spark, events):
+    """The r6 direct route (pre_partial=False: raw rows shuffle once,
+    final states built in a single post-shuffle pass) must emit states
+    and n_rows byte-identical to the partial route — HLL/KMV states are
+    pure set functions of the hashes seen, so the stage-1 shape cannot
+    show in the output. Also pins the auto decision's two regimes."""
+    from probably_jl_spark.operators.grouped import _preagg_dedup_ratio, grouped_sketch
+
+    for specs in (
+        [SketchSpec("u", "hll", key_cols=("user_id",))],
+        [SketchSpec("u", "kmv", key_cols=("user_id",), params={"k": 64})],
+    ):
+        for group_cols in (["event_type"], ["user_id", "event_type"]):
+            key = list(group_cols)
+            a = (
+                grouped_sketch(events.repartition(5), group_cols, specs, pre_partial=True)
+                .toPandas().sort_values(key).reset_index(drop=True)
+            )
+            b = (
+                grouped_sketch(events.repartition(3), group_cols, specs, pre_partial=False)
+                .toPandas().sort_values(key).reset_index(drop=True)
+            )
+            assert len(a) == len(b)
+            assert (a["n_rows"] == b["n_rows"]).all()
+            assert all(x == y for x, y in zip(a["state_u"], b["state_u"]))
+    # decision input: few distinct groups => low ratio (partial route),
+    # all-distinct keys => ratio ~1 (direct route)
+    ev = events.select("event_type", "user_id", "event_id")
+    assert _preagg_dedup_ratio(ev, ["event_type"], 200_000) <= 0.5
+    assert _preagg_dedup_ratio(ev, ["event_id"], 200_000) > 0.5
