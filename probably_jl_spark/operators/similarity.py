@@ -130,6 +130,68 @@ def _rerank_pairs(
     return df.mapInArrow(fn, schema)
 
 
+def _broadcast_lookup_rerank(
+    pairs: DataFrame,
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    sim_col: str = "sim",
+) -> DataFrame:
+    """Exact-cosine rerank of (id_a, id_b) pairs with the corpus vectors
+    broadcast as ONE numpy matrix and gathered by binary search inside
+    the pair stream's own partitions — the broadcast-attach twin of
+    ``_rerank_pairs`` without the two broadcast-hash JOINS. Those joins
+    were correct but paid twice: each built a framed row-based broadcast
+    relation of the whole vector table, and the joined (pair, va, vb)
+    rows then crossed the Arrow boundary at ~2 x dim x 4 bytes per pair
+    (7.2 GB at 14M pairs, the dominant cost of the near-dup operator —
+    r6 profile). Here only the 16-byte pair keys cross, and the vectors
+    move once as a ~dim x 4 bytes/vector numpy broadcast. Sims are the
+    exact ops of ``_rerank_pairs`` on the same float32 values —
+    bit-identical (gated by test_broadcast_lookup_rerank_bit_equal).
+    Requires unique integral ids (the embeddings contract; caller
+    falls back to the join attach otherwise)."""
+    import pyarrow as pa
+
+    tbl = emb_df.select(id_col, vec_col).toArrow()
+    ids = tbl.column(0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    veccol = tbl.column(1).combine_chunks()
+    flat = veccol.flatten().to_numpy(zero_copy_only=False)
+    mat = np.ascontiguousarray(flat, dtype=np.float32).reshape(len(ids), -1)
+    order = np.argsort(ids, kind="stable")
+    bc = pairs.sparkSession.sparkContext.broadcast((ids[order], mat[order]))
+
+    def fn(batches):
+        ids_s, mat_s = bc.value
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ia = _id_i64(batch, "id_a")
+            ib = _id_i64(batch, "id_b")
+            a = mat_s[np.searchsorted(ids_s, ia)]
+            b = mat_s[np.searchsorted(ids_s, ib)]
+            # identical ops/dtypes to _rerank_pairs
+            dot = np.einsum("ij,ij->i", a, b, dtype=np.float64)
+            norm = np.maximum(
+                np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1), 1e-12
+            ).astype(np.float64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.names.index("id_a")),
+                    batch.column(batch.schema.names.index("id_b")),
+                    pa.array(dot / norm, type=pa.float64()),
+                ],
+                ["id_a", "id_b", sim_col],
+            )
+
+    schema = (
+        f"id_a {pairs.schema['id_a'].dataType.simpleString()}, "
+        f"id_b {pairs.schema['id_b'].dataType.simpleString()}, {sim_col} double"
+    )
+    return pairs.mapInArrow(fn, schema)
+
+
 def cosine_topk(
     emb_df: DataFrame,
     query_df: DataFrame,
@@ -634,34 +696,49 @@ def cosine_near_dup_pairs(
         keys = _mat(keys, materialize)
         # bucket sizes via aggregate + broadcast over-list, NOT
         # count(1) OVER (partition by table, bucket) which shuffled AND
-        # sorted every key row (VERDICT r04 #1; shared split_over_cap)
-        from .skew import split_over_cap
+        # sorted every key row (VERDICT r04 #1; shared skew helpers).
+        # The over list is materialized + counted ONCE: it is bounded by
+        # total_keys/cap, it feeds several joins (Catalyst would re-run
+        # the aggregate under each), and when it is EMPTY — every
+        # well-sized geometry — the whole dense/star branch is skipped
+        # instead of running ~5s of quantize/label/re-cap jobs against
+        # nothing (r6 profile).
+        from .skew import over_cap_buckets, split_over_cap
 
-        sub, over = split_over_cap(keys, ["table", "bucket"], max_bucket_size)
-        # dense members: anything in at least one over-cap bucket.
-        over_ids = over.select(id_col).distinct()
-        dense = emb_df.join(over_ids, id_col, "leftsemi")
-        cells = quantize_cells(dense, id_col=id_col, vec_col=vec_col)
-        # rep = min id per quantized cell, again aggregate + join on the
-        # narrow (id, qcell) rows instead of a min() window (no sort; the
-        # agg output is one row per distinct cell and arrives already
-        # hash-partitioned by qcell for the join)
-        reps_map = cells.groupBy("qcell").agg(F.min(id_col).alias("__rep"))
-        labeled = _mat(cells.join(reps_map, "qcell"), materialize)
-        # star pairs: rep -> every other member of its quantized cell
-        # (rep = min id, so id_a < id_b holds by construction)
-        star = labeled.filter(F.col(id_col) != F.col("__rep")).select(
-            F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
+        over_b = _mat(
+            over_cap_buckets(keys, ["table", "bucket"], max_bucket_size), materialize
         )
-        # cell reps re-enter pair generation in place of their whole
-        # bucket; re-apply the cap on the collapsed buckets so a dense
-        # but DIVERSE region (many cells in one bucket) still can't go
-        # quadratic — its cells stay connected via the star pairs of
-        # whatever buckets do survive plus the sub-cap tables.
-        rep_ids = labeled.select(F.col("__rep").alias(id_col)).distinct()
-        over_reps = over.join(rep_ids, id_col, "leftsemi")
-        recapped, _ = split_over_cap(over_reps, ["table", "bucket"], max_bucket_size)
-        keys = _mat(sub.unionByName(recapped), materialize)
+        if over_b.limit(1).count() > 0:
+            sub, over = split_over_cap(
+                keys, ["table", "bucket"], max_bucket_size, over_b=over_b
+            )
+            # dense members: anything in at least one over-cap bucket.
+            over_ids = over.select(id_col).distinct()
+            dense = emb_df.join(over_ids, id_col, "leftsemi")
+            cells = quantize_cells(dense, id_col=id_col, vec_col=vec_col)
+            # rep = min id per quantized cell, again aggregate + join on
+            # the narrow (id, qcell) rows instead of a min() window (no
+            # sort; the agg output is one row per distinct cell and
+            # arrives already hash-partitioned by qcell for the join)
+            reps_map = cells.groupBy("qcell").agg(F.min(id_col).alias("__rep"))
+            labeled = _mat(cells.join(reps_map, "qcell"), materialize)
+            # star pairs: rep -> every other member of its quantized cell
+            # (rep = min id, so id_a < id_b holds by construction)
+            star = labeled.filter(F.col(id_col) != F.col("__rep")).select(
+                F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
+            )
+            # cell reps re-enter pair generation in place of their whole
+            # bucket; re-apply the cap on the collapsed buckets so a
+            # dense but DIVERSE region (many cells in one bucket) still
+            # can't go quadratic — its cells stay connected via the star
+            # pairs of whatever buckets do survive plus the sub-cap
+            # tables.
+            rep_ids = labeled.select(F.col("__rep").alias(id_col)).distinct()
+            over_reps = over.join(rep_ids, id_col, "leftsemi")
+            recapped, _ = split_over_cap(
+                over_reps, ["table", "bucket"], max_bucket_size
+            )
+            keys = _mat(sub.unionByName(recapped), materialize)
     l = keys.select("table", "bucket", F.col(id_col).alias("id_a"))
     r = keys.select("table", "bucket", F.col(id_col).alias("id_b"))
     pairs = (
@@ -677,9 +754,28 @@ def cosine_near_dup_pairs(
         broadcast_vectors = (
             vec_bytes is not None and vec_bytes <= _BROADCAST_VECTORS_MAX_BYTES
         )
+    from pyspark.sql.types import IntegerType, LongType
+
+    if broadcast_vectors and isinstance(
+        emb_df.schema[id_col].dataType, (LongType, IntegerType)
+    ):
+        # broadcast attach, r6 shape: ONE numpy vector broadcast +
+        # searchsorted gather inside the pair stream — the pair rows
+        # cross the Arrow boundary as 16-byte keys instead of
+        # (pair, va, vb) rows at ~2 x dim x 4 B each (the two
+        # broadcast-hash joins this replaces built the framed relation
+        # twice and shipped 7.2 GB at 14M pairs; _broadcast_lookup_rerank
+        # docstring). Bit-identical sims.
+        _log.info(
+            "cosine_near_dup_pairs: vector attach via numpy broadcast lookup "
+            "(pairs never shuffle, keys-only Arrow transfer)"
+        )
+        return _broadcast_lookup_rerank(pairs, emb_df, id_col, vec_col).filter(
+            F.col("sim") >= threshold
+        )
     _log.info(
         "cosine_near_dup_pairs: vector attach via %s joins",
-        "broadcast-hash (pairs never shuffle)" if broadcast_vectors else "shuffle",
+        "broadcast-hash (non-integral ids)" if broadcast_vectors else "shuffle",
     )
     va = emb_df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = emb_df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))

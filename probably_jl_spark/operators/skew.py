@@ -17,16 +17,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def split_over_cap(
-    df: DataFrame, bucket_cols: list[str], cap: int
-) -> tuple[DataFrame, DataFrame]:
-    """(rows in buckets <= cap, rows in buckets > cap)."""
-    over_b = (
+def over_cap_buckets(df: DataFrame, bucket_cols: list[str], cap: int) -> DataFrame:
+    """The over-cap bucket list itself (<= total_rows/cap rows). Exposed
+    so callers can materialize + count it ONCE and skip their whole
+    dense/star branch when no bucket is over cap (r6: the cosine path
+    ran ~5s of quantize/label/re-cap jobs against an EMPTY over list on
+    every well-sized corpus)."""
+    return (
         df.groupBy(*bucket_cols)
         .agg(F.count(F.lit(1)).alias("__bsz"))
         .filter(F.col("__bsz") > cap)
         .select(*bucket_cols)
     )
+
+
+def split_over_cap(
+    df: DataFrame,
+    bucket_cols: list[str],
+    cap: int,
+    over_b: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(rows in buckets <= cap, rows in buckets > cap). Pass a
+    precomputed (ideally materialized) ``over_cap_buckets`` result as
+    ``over_b`` to stop the aggregate subtree re-executing under each of
+    the two joins (Catalyst does not reuse it across branches)."""
+    if over_b is None:
+        over_b = over_cap_buckets(df, bucket_cols, cap)
     sub = df.join(F.broadcast(over_b), bucket_cols, "left_anti")
     over = df.join(F.broadcast(over_b), bucket_cols, "leftsemi")
     return sub, over

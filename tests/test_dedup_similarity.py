@@ -784,3 +784,34 @@ def test_collect_queries_cap_raises(spark):
             sim._collect_queries(big, "vec_id", "embedding")
     finally:
         sim._MAX_QUERY_ROWS = old
+
+
+def test_broadcast_lookup_rerank_bit_equal(spark, emb):
+    """_broadcast_lookup_rerank (numpy broadcast + searchsorted gather)
+    must produce bit-identical sims to _rerank_pairs over the
+    broadcast-join attach, pair for pair."""
+    from pyspark.sql import functions as F
+
+    from probably_jl_spark.operators.similarity import (
+        _broadcast_lookup_rerank,
+        _rerank_pairs,
+    )
+
+    a = emb.select(F.col("vec_id").alias("id_a")).filter("id_a < 40")
+    b = emb.select(F.col("vec_id").alias("id_b")).filter("id_b >= 40 AND id_b < 90")
+    pairs = a.crossJoin(b)
+    va = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    attached = pairs.join(F.broadcast(va), "id_a").join(F.broadcast(vb), "id_b")
+    want = (
+        _rerank_pairs(attached, "va", "vb", ["id_a", "id_b"])
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    got = (
+        _broadcast_lookup_rerank(pairs, emb, "vec_id", "embedding")
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 40 * 50
+    assert (got["id_a"].to_numpy() == want["id_a"].to_numpy()).all()
+    assert (got["id_b"].to_numpy() == want["id_b"].to_numpy()).all()
+    assert (got["sim"].to_numpy() == want["sim"].to_numpy()).all()
