@@ -88,6 +88,13 @@ class _ColAcc:
         self.acc = None
 
     def absorb(self, g: np.ndarray, blobs: list) -> None:
+        # a null state cell (outer-joined or hand-built state table) is
+        # documented as unsupported — name the column instead of dying
+        # deep in the executor with a bare TypeError (ADVICE r5)
+        if any(b is None for b in blobs):
+            raise ValueError(
+                f"rollup_states: column {self.col!r} contains null state blobs"
+            )
         if self.kind is None:
             k = codec.peek_kind(blobs[0])
             self.kind = {codec.KIND_HLL: "hll", codec.KIND_KMV: "kmv"}.get(k, "generic")

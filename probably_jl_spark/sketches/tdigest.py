@@ -74,7 +74,9 @@ class TDigest:
             # a NaN weight poisons n and every later quantile; a negative
             # one silently corrupts cluster assignment (code-review r5).
             # Zero weights are legal (dropped by _presort's cumsum math).
-            if np.isnan(weights).any() or (weights < 0).any():
+            # ~isfinite also rejects +/-inf, which poisons n exactly like
+            # NaN but sailed past the old NaN-only check (ADVICE r5)
+            if (~np.isfinite(weights)).any() or (weights < 0).any():
                 raise ValueError("t-digest weights must be finite and >= 0")
         self.vmin = min(self.vmin, float(values.min()))
         self.vmax = max(self.vmax, float(values.max()))

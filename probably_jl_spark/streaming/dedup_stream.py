@@ -120,7 +120,12 @@ def process_seen_batch(
     # from <checkpoint>/metadata, NOT the dir path — a wiped dir keeps
     # its path (code-review r5); checkpoint_identity handles both.
     lineage = checkpoint_identity(batch_df.sparkSession, checkpoint_dir)
-    if blobs.get("lineage", lin) == lineage and batch_id <= last:
+    stored = blobs.get("lineage", lin)
+    # legacy snapshots stored the checkpoint DIR PATH as the lineage
+    # (pre-queryId format): accept it too, else the first restart
+    # after upgrading re-invokes the sink for one replayed batch
+    # (ADVICE r5)
+    if stored in (lineage, checkpoint_dir) and batch_id <= last:
         return  # same lineage, replayed batch: decisions already made
     bf = (
         BloomFilter.from_bytes(blobs["seen"])
@@ -330,7 +335,12 @@ def process_near_seen_batch(
     blobs = states.get((), {})
     # epoch-keyed replay guard (see process_seen_batch — same rule)
     lineage = checkpoint_identity(batch_df.sparkSession, checkpoint_dir)
-    if blobs.get("lineage", lin) == lineage and batch_id <= last:
+    stored = blobs.get("lineage", lin)
+    # legacy snapshots stored the checkpoint DIR PATH as the lineage
+    # (pre-queryId format): accept it too, else the first restart
+    # after upgrading re-invokes the sink for one replayed batch
+    # (ADVICE r5)
+    if stored in (lineage, checkpoint_dir) and batch_id <= last:
         return  # same lineage, replayed batch: decisions already made
     state = (
         np.frombuffer(blobs["seen_hashes"], dtype=np.uint64)

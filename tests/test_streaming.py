@@ -450,3 +450,62 @@ def test_seen_before_duplicate_rows_within_batch(spark, tmp_path):
     assert texts == ["T", "U"], texts
     states, _ = store.load()
     assert states[()]["n_kept"] == 2 and states[()]["n_rows"] == 3
+
+
+def test_seen_before_accepts_legacy_path_lineage(spark, dirs):
+    """Snapshots written by the pre-queryId format stored
+    blobs['lineage'] = the checkpoint DIR PATH; the replay guard must
+    accept that legacy value too, else the first restart after upgrading
+    re-invokes the sink for one genuinely-replayed batch (ADVICE r5)."""
+    from probably_jl_spark.streaming.dedup_stream import process_seen_batch
+
+    store = SketchStateStore(dirs["state"], spark)
+    calls = []
+
+    def sink(df, batch_id):
+        calls.append((batch_id, df.count()))
+
+    docs = spark.createDataFrame(
+        [(i, f"legacy doc {i}") for i in range(10)], "doc_id long, text string"
+    )
+    process_seen_batch(docs, 0, store, dirs["ckpt"], sink)
+    assert len(calls) == 1
+    # rewrite the snapshot as a legacy one: per-group lineage blob holds
+    # the dir path, no store-level epoch
+    states, last, _lin = store.load_full()
+    states[()]["lineage"] = dirs["ckpt"]
+    store.save(states, last, lineage=None)
+    process_seen_batch(docs, 0, store, dirs["ckpt"], sink)  # replayed batch id
+    assert len(calls) == 1, "sink re-invoked for a legacy-lineage replay"
+
+
+def test_rollup_null_state_blob_raises_with_column(spark):
+    """A null state cell must surface a contextful error naming the
+    column, not a bare executor TypeError (ADVICE r5)."""
+    import pytest as _pytest
+
+    from probably_jl_spark.operators.grouped import grouped_sketch
+    from probably_jl_spark.operators.rollup import rollup_states
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    fine = grouped_sketch(
+        ev, ["event_type"], [SketchSpec("u", "hll", key_cols=("user_id",))],
+        pre_partial=True,
+    ).withColumn(
+        "state_u", F.when(F.col("event_type") == "click", None).otherwise(F.col("state_u"))
+    )
+    with _pytest.raises(Exception, match="state_u.*null state blobs"):
+        rollup_states(fine, []).collect()
+
+
+def test_tdigest_infinite_weight_rejected():
+    """+inf weights must be rejected like NaN/negative (ADVICE r5)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from probably_jl_spark.sketches.tdigest import TDigest
+
+    td = TDigest(100)
+    with _pytest.raises(ValueError, match="finite"):
+        td.update_values(np.array([1.0, 2.0]), weights=np.array([1.0, np.inf]))
