@@ -16,6 +16,18 @@ def sketch_build_conf(scale: str = "cluster", cores: int = 32) -> dict[str, str]
         # Python dispatch without blowing executor memory (~16B/row of
         # hashed cols => ~1MB per in-flight batch per spec set).
         "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+        # Spark 4 defaults maxBytesPerBatch to 64MB, which makes the
+        # Python runner call ArrowWriter.sizeInBytes() — a full
+        # vector-tree traversal — PER INPUT ROW; INT_MAX short-circuits
+        # the check entirely (BatchedPythonArrowInput.underSizeLimit).
+        # Measured r6: 2.7x on a raw 77M-row transfer, and it removes a
+        # session-wide 4x JIT-profile-pollution slowdown of every later
+        # Python stage after a mixed-type grouped build. Safe here
+        # because maxRecordsPerBatch=65536 already bounds our batches
+        # (narrow hashed/text rows, ~2-20MB); pipelines shipping MB-scale
+        # binary cells (multimodal payloads) should lower
+        # maxRecordsPerBatch or restore a finite maxBytesPerBatch.
+        "spark.sql.execution.arrow.maxBytesPerBatch": "2147483647",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # AQE: coalesces the tiny state shuffles and splits skewed joins
         # (LSH band buckets) at runtime.
