@@ -99,8 +99,19 @@ def t_grouped_conv(spark, plans=False):
     from probably_jl_spark.operators.grouped import grouped_sketch
     from probably_jl_spark.operators.specs import SketchSpec
 
+    from probably_jl_spark.operators.build import plan_columns
+    from pyspark.sql import functions as F
+
     tr = tr_df(spark)
-    out = grouped_sketch(tr, ["conv_id"], [SketchSpec("tools", "hll", key_cols=("tool",))])
+    specs = [SketchSpec("tools", "hll", key_cols=("tool",))]
+    spec_cols, _ = plan_columns(specs)
+    prepared = tr.select(F.col("conv_id"), *spec_cols)
+    shuffled = prepared.repartition("conv_id")
+    with timed("grouped_conv.exchange_noop", spark):
+        noop(shuffled)
+    with timed("grouped_conv.exchange_transfer_probe", spark):
+        _transfer_probe(shuffled).count()
+    out = grouped_sketch(tr, ["conv_id"], specs)
     if plans:
         write_plan(out, "grouped_hll_by_conv_cur.txt")
     with timed("grouped_hll_by_conv.count", spark):
@@ -264,19 +275,41 @@ def t_ivf(spark, plans=False):
     emb.unpersist()
 
 
+def _transfer_probe(df):
+    """Trivial mapInPandas: counts rows per batch — times scan + Arrow
+    boundary + pandas conversion with zero kernel work."""
+    import pandas as pd
+
+    def fn(batches):
+        n = 0
+        for pdf in batches:
+            n += len(pdf)
+        yield pd.DataFrame({"n": [n]})
+
+    return df.mapInPandas(fn, schema="n long")
+
+
 def t_fused(spark, plans=False):
-    from probably_jl_spark.operators.build import build_partials, sketch_table
+    from probably_jl_spark.operators.build import build_partials, prepare, sketch_table
 
     sys.path.insert(0, REPO)
     import bench as _bench
 
     tr = tr_df(spark)
+    specs = _bench.transcript_specs()
+    prepared, _ = prepare(tr, specs, lineage=False)
+    with timed("fused.scan_hash_noop", spark):
+        noop(prepared)
+    with timed("fused.transfer_probe", spark):
+        _transfer_probe(prepared).count()
+    with timed("fused.partials_noop", spark):
+        noop(build_partials(tr, specs, lineage=False))
     if plans:
-        partials = build_partials(tr, _bench.transcript_specs(), lineage=False)
+        partials = build_partials(tr, specs, lineage=False)
         write_plan(partials, "fused_transcripts_partials_cur.txt")
     for i in range(2):
         with timed(f"fused_transcripts.{i}", spark):
-            r = sketch_table(tr, _bench.transcript_specs())
+            r = sketch_table(tr, specs)
     print(f"    n={r.n_rows}", file=sys.stderr)
 
 

@@ -34,6 +34,16 @@ def sketch_build_conf(scale: str = "cluster", cores: int = 32) -> dict[str, str]
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # let AQE convert sort-merge joins to broadcast when the RUNTIME
+        # size of a side lands under 128MB (the static 10MB threshold
+        # only sees estimates, which are useless after filters/aggs —
+        # guide §3.1). Scale-safe by construction: the decision uses the
+        # actual materialized stage size, so a keep-id set that is 40MB
+        # at 5M docs broadcasts (clean_corpus map-mode semi join drops
+        # its full-row exchange+sort) while the same query at 10^10 docs
+        # stays a shuffle join. 128MB ~ a few seconds of executor-memory
+        # and network per executor; raise/lower per fleet memory.
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "128m",
         # deterministic oracle comparisons (duckdb is UTC-naive)
         "spark.sql.session.timeZone": "UTC",
         # filters must reach the parquet/Iceberg scan (PLANS.md §1)

@@ -50,7 +50,13 @@ def token_count(col) -> Column:
     the two ends (see its docstring), so the filtered size is the raw
     size minus an end correction — value-identical for every string
     (gated by test_token_count_oracle_matches_on_whitespace_edges and a
-    5M-doc equivalence sweep)."""
+    5M-doc equivalence sweep).
+
+    (An r6 attempt to count via ``regexp_count(t, '\\s+') + 1`` measured
+    SLOWER: Spark's regexp_count is RuntimeReplaceable sugar for
+    ``size(regexp_extract_all(...))``, which materializes every matched
+    run — the filter stage re-evaluating it went 17.4s -> 26.5s on the
+    5M-doc bench, so split+size stays.)"""
     c = F.col(col) if isinstance(col, str) else col
     t = F.trim(c)
     first_ws = F.substring(t, 1, 1).isin(_WS_CHARS).cast("int")
@@ -69,10 +75,26 @@ def bpe_ish_token_count(col) -> Column:
     return F.size(F.filter(pieces, lambda t: t != ""))
 
 
+# every char Java regex [\w\s] can match without UNICODE_CHARACTER_CLASS:
+# \w = [a-zA-Z_0-9], \s = [ \t\n\x0b\f\r] — 69 ASCII chars total
+_WORD_WS = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"
+    " \t\n\x0b\f\r"
+)
+
+
 def punct_ratio(col) -> Column:
+    # [^\w\s] char count computed regex-free: translate() deletes the 69
+    # ASCII \w\s chars, so the remaining length IS the class-match count
+    # (each regex match is exactly one code point, and length() counts
+    # code points). Identical value to the old
+    # length(c) - length(regexp_replace(c, '[^\w\s]', '')) without
+    # running a regex matcher or building the replaced string per doc —
+    # this expression is evaluated in both the pushed-down clean_corpus
+    # filter and its projection (r6, guide §1.2 per-task work).
     c = F.col(col) if isinstance(col, str) else col
     total = F.greatest(F.length(c), F.lit(1))
-    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    punct = F.length(F.translate(c, _WORD_WS, ""))
     return punct / total
 
 

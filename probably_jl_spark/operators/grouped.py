@@ -182,17 +182,27 @@ class _HllKernel:
     def init_acc():
         return np.empty(0, dtype=np.int64)
 
-    def absorb_rows(self, acc, spec, g: np.ndarray, h: np.ndarray):
+    def row_payloads(self, spec, h: np.ndarray) -> np.ndarray:
+        """Group-independent per-row payload (register_idx << 6 | rho):
+        computed per batch, combined with group codes later — the direct
+        route defers group-code assignment to amortize the key index."""
         from ..sketches.hashing import trailing_zeros64
-        from ..sketches.hll import _dedup_max_rho
 
         p = self.ps[spec.name]
         guard = np.uint64(1 << (64 - p))
         rho = trailing_zeros64(h | guard).astype(np.int64) + np.int64(1)
         idx = (h >> np.uint64(64 - p)).astype(np.int64)
-        packed = (g << np.int64(24)) | (idx << np.int64(6)) | rho
+        return (idx << np.int64(6)) | rho
+
+    def absorb_payloads(self, acc, spec, g: np.ndarray, pay: np.ndarray):
+        from ..sketches.hll import _dedup_max_rho
+
+        packed = (g << np.int64(24)) | pay
         packed.sort()
         return _absorb_max(acc, _dedup_max_rho(packed))
+
+    def absorb_rows(self, acc, spec, g: np.ndarray, h: np.ndarray):
+        return self.absorb_payloads(acc, spec, g, self.row_payloads(spec, h))
 
     def absorb_states(self, acc, spec, g: np.ndarray, blobs):
         from ..sketches.hll import _dedup_max_rho, packed_entries_many_from_bytes
@@ -212,6 +222,14 @@ class _HllKernel:
             self.ps[spec.name], (acc & _MASK24).astype(np.uint32), bounds
         )
 
+    def emit_buf(self, acc, spec, n: int):
+        from ..sketches.hll import packed_entries_many_to_buf
+
+        bounds = np.searchsorted(acc >> np.int64(24), np.arange(n + 1))
+        return packed_entries_many_to_buf(
+            self.ps[spec.name], (acc & _MASK24).astype(np.uint32), bounds
+        )
+
 
 class _KmvKernel:
     """KMV hooks for the shared vectorized grouped builders: the
@@ -227,6 +245,12 @@ class _KmvKernel:
     @staticmethod
     def init_acc():
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
+
+    def row_payloads(self, spec, h: np.ndarray) -> np.ndarray:
+        return h
+
+    def absorb_payloads(self, acc, spec, g: np.ndarray, pay: np.ndarray):
+        return _kmv_combine(acc[0], acc[1], g, pay, self.ks[spec.name])
 
     def absorb_rows(self, acc, spec, g: np.ndarray, h: np.ndarray):
         return _kmv_combine(acc[0], acc[1], g, h, self.ks[spec.name])
@@ -246,6 +270,13 @@ class _KmvKernel:
         g_acc, h_acc = acc
         bounds = np.searchsorted(g_acc, np.arange(n + 1))
         return mins_many_to_bytes(self.ks[spec.name], h_acc, bounds)
+
+    def emit_buf(self, acc, spec, n: int):
+        from ..sketches.kmv import mins_many_to_buf
+
+        g_acc, h_acc = acc
+        bounds = np.searchsorted(g_acc, np.arange(n + 1))
+        return mins_many_to_buf(self.ks[spec.name], h_acc, bounds)
 
 
 def _kmv_combine(
@@ -397,6 +428,9 @@ def _vec_merge_builder(specs: list[SketchSpec], group_cols: list[str], kernel):
     return fn
 
 
+_FOLD_ROWS = 1 << 22  # pending rows per deferred consolidation (~4M, ~16 B/row held)
+
+
 def _vec_direct_builder(specs: list[SketchSpec], group_cols: list[str], col_map: dict, kernel):
     """Post-shuffle single-pass build for the vectorized kinds: raw
     (group, hash) rows arrive hash-partitioned on the group columns, so
@@ -404,26 +438,235 @@ def _vec_direct_builder(specs: list[SketchSpec], group_cols: list[str], col_map:
     FINAL states directly — no partial-state emit, no state exchange, no
     blob decode. Used when map-side pre-aggregation cannot pay (see
     ``grouped_sketch``): at ~1 row per (group, partition) the partial
-    route wraps and re-parses one blob per INPUT row."""
+    route wraps and re-parses one blob per INPUT row.
+
+    Group codes are assigned in DEFERRED blocks of ``_FOLD_ROWS`` rows
+    rather than per batch: each batch only factorizes its own keys
+    (C-level) and stashes (uniques, codes, payloads); a consolidation
+    then maps all stashed uniques through ONE factorize over
+    ``keys_index.append(stashed)`` and folds the payloads into the
+    kernel accumulator with one sort. The per-batch alternative
+    (``Index.append`` + ``get_indexer``) rebuilt the key hash table and
+    its is_unique check every 64k rows — O(live groups) per batch, the
+    dominant cost of the 20M-group bench build (profiled ~2.2s of a
+    4.2s partition). First-seen code order is preserved (keys_index
+    leads the factorize input, so existing codes keep their values),
+    making emitted states and row order identical to the incremental
+    path; memory holds ~16 bytes/pending row, bounded by
+    ``_FOLD_ROWS``."""
 
     def fn(batches):
         keys_index = None
         n_rows = np.empty(0, dtype=np.int64)
         accs = {s.name: kernel.init_acc() for s in specs}
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            arrays = batch_arrays(pdf, specs, col_map)
-            g, keys_index = _group_codes(pdf, group_cols, keys_index)
+        pend_uniq: list = []
+        pend_codes: list = []
+        pend_pay: dict[str, list] = {s.name: [] for s in specs}
+        pend_n = 0
+
+        def consolidate():
+            nonlocal keys_index, n_rows, pend_uniq, pend_codes, pend_n
+            if not pend_uniq:
+                return
+            parts = ([] if keys_index is None else [keys_index]) + pend_uniq
+            combined = parts[0].append(parts[1:]) if len(parts) > 1 else parts[0]
+            codes, keys_index = combined.factorize(use_na_sentinel=False)
+            codes = np.asarray(codes, dtype=np.int64)
+            offs = np.zeros(len(parts) + 1, dtype=np.int64)
+            np.cumsum([len(u) for u in parts], out=offs[1:])
+            base = 0 if len(parts) > len(pend_uniq) else -1  # skip keys_index slot
+            g_all = np.concatenate(
+                [
+                    codes[offs[base + i + 1] : offs[base + i + 2]][bl]
+                    for i, bl in enumerate(pend_codes)
+                ]
+            )
             if len(keys_index) > n_rows.size:
                 n_rows = np.concatenate(
                     [n_rows, np.zeros(len(keys_index) - n_rows.size, dtype=np.int64)]
                 )
-            n_rows += np.bincount(g, minlength=n_rows.size)
+            n_rows += np.bincount(g_all, minlength=n_rows.size)
             for s in specs:
-                accs[s.name] = kernel.absorb_rows(accs[s.name], s, g, arrays[s.name][0])
+                accs[s.name] = kernel.absorb_payloads(
+                    accs[s.name], s, g_all, np.concatenate(pend_pay[s.name])
+                )
+                pend_pay[s.name].clear()
+            pend_uniq, pend_codes, pend_n = [], [], 0
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arrays = batch_arrays(pdf, specs, col_map)
+            if len(group_cols) == 1:
+                bl_codes, bl_uniques = pdf[group_cols[0]].factorize(use_na_sentinel=False)
+                bl_uniques = pd.Index(bl_uniques)
+            else:
+                mi = pd.MultiIndex.from_frame(pdf[list(group_cols)])
+                bl_codes, bl_uniques = mi.factorize(use_na_sentinel=False)
+            pend_uniq.append(bl_uniques)
+            pend_codes.append(np.asarray(bl_codes, dtype=np.int64))
+            for s in specs:
+                pend_pay[s.name].append(kernel.row_payloads(s, arrays[s.name][0]))
+            pend_n += len(pdf)
+            if pend_n >= _FOLD_ROWS:
+                consolidate()
+        consolidate()
         if keys_index is not None and len(keys_index):
             yield _emit_state_rows(specs, group_cols, kernel, keys_index, n_rows, accs, None)
+
+    return fn
+
+
+# pa.BinaryArray offsets are int32: cap the state bytes per emitted batch
+_EMIT_BYTES = 1 << 29
+
+
+def _vec_direct_builder_arrow(
+    specs: list[SketchSpec], group_cols: list[str], col_map: dict, kernel
+):
+    """``mapInArrow`` twin of ``_vec_direct_builder`` for single-column
+    hashable group keys: the same deferred-consolidation build, but group
+    keys stay Arrow-native end to end. Input batches never convert to
+    pandas (2.4M string->PyObject conversions per bench partition),
+    per-batch factorization is ``Array.dictionary_encode`` (C++), the
+    consolidation re-encodes ``concat_arrays(keys, stashed-uniques)``
+    (prior keys lead, so existing codes keep their values), and the
+    output RecordBatch is assembled zero-copy: the group column IS the
+    final dictionary, and the state column wraps the kernels'
+    ``emit_buf`` flat (buf, offs) pair into a BinaryArray — no per-group
+    Python bytes objects on either side. States are byte-identical to
+    the pandas route (pure set functions; gated by the direct-route
+    tests). Null group keys collect into a separate bucket emitted as
+    the LAST row (pandas factorize would slot NaN at first appearance —
+    row order is the only difference). Float group keys take the pandas
+    route instead: Arrow hashes NaN/-0.0 bitwise, pandas by value."""
+    gcol = group_cols[0]
+
+    def fn(batches):
+        import pyarrow as pa
+
+        keys_arr = None
+        n_rows = np.empty(0, dtype=np.int64)
+        accs = {s.name: kernel.init_acc() for s in specs}
+        null_pay: dict[str, list] = {s.name: [] for s in specs}
+        null_n = 0
+        pend_uniq: list = []
+        pend_codes: list = []
+        pend_pay: dict[str, list] = {s.name: [] for s in specs}
+        pend_n = 0
+        out_fields = None
+
+        def consolidate():
+            nonlocal keys_arr, n_rows, pend_uniq, pend_codes, pend_n
+            if not pend_uniq:
+                return
+            parts = ([] if keys_arr is None else [keys_arr]) + pend_uniq
+            enc = pa.concat_arrays(parts).dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            keys_arr = enc.dictionary
+            offs = np.zeros(len(parts) + 1, dtype=np.int64)
+            np.cumsum([len(u) for u in parts], out=offs[1:])
+            base = 0 if len(parts) > len(pend_uniq) else -1  # skip keys_arr slot
+            g_all = np.concatenate(
+                [
+                    codes[offs[base + i + 1] : offs[base + i + 2]][bl]
+                    for i, bl in enumerate(pend_codes)
+                ]
+            )
+            if len(keys_arr) > n_rows.size:
+                n_rows = np.concatenate(
+                    [n_rows, np.zeros(len(keys_arr) - n_rows.size, dtype=np.int64)]
+                )
+            n_rows += np.bincount(g_all, minlength=n_rows.size)
+            for s in specs:
+                accs[s.name] = kernel.absorb_payloads(
+                    accs[s.name], s, g_all, np.concatenate(pend_pay[s.name])
+                )
+                pend_pay[s.name].clear()
+            pend_uniq, pend_codes, pend_n = [], [], 0
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            if out_fields is None:
+                out_fields = {f.name: f.type for f in rb.schema}
+            garr = rb.column(rb.schema.get_field_index(gcol))
+            hs = {}
+            for s in specs:
+                harr = rb.column(rb.schema.get_field_index(col_map[s.name]["h"]))
+                if harr.null_count:
+                    harr = harr.fill_null(0)
+                hs[s.name] = harr.to_numpy(zero_copy_only=False).view(np.uint64)
+            enc = garr.dictionary_encode()
+            bl_codes = enc.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+            if garr.null_count:
+                nulls = bl_codes < 0
+                null_n += int(nulls.sum())
+                for s in specs:
+                    null_pay[s.name].append(
+                        kernel.row_payloads(s, hs[s.name][nulls])
+                    )
+                keep = ~nulls
+                bl_codes = bl_codes[keep]
+                for s in specs:
+                    hs[s.name] = hs[s.name][keep]
+                if not bl_codes.size:
+                    continue
+            pend_uniq.append(enc.dictionary)
+            pend_codes.append(bl_codes)
+            for s in specs:
+                pend_pay[s.name].append(kernel.row_payloads(s, hs[s.name]))
+            pend_n += len(bl_codes)
+            if pend_n >= _FOLD_ROWS:
+                consolidate()
+        consolidate()
+        n = 0 if keys_arr is None else len(keys_arr)
+        if n == 0 and null_n == 0:
+            return
+        key_out = keys_arr if keys_arr is not None else pa.array([], type=out_fields[gcol])
+        nr = n_rows[:n]
+        if null_n:
+            # null group emitted last: absorb its payloads under code n
+            key_out = pa.concat_arrays(
+                [key_out, pa.array([None], type=key_out.type)]
+            )
+            nr = np.concatenate([nr, [null_n]])
+            for s in specs:
+                gg = np.full(
+                    sum(p.size for p in null_pay[s.name]), n, dtype=np.int64
+                )
+                accs[s.name] = kernel.absorb_payloads(
+                    accs[s.name], s, gg, np.concatenate(null_pay[s.name])
+                )
+            n += 1
+        bufs = {s.name: kernel.emit_buf(accs[s.name], s, n) for s in specs}
+        start = 0
+        while start < n:
+            stop = n
+            for s in specs:  # keep each chunk's state bytes under int32 offsets
+                offs = bufs[s.name][1]
+                stop = min(
+                    stop, int(np.searchsorted(offs, offs[start] + _EMIT_BYTES)) - 1
+                )
+            stop = max(stop, start + 1)
+            arrays = [key_out.slice(start, stop - start)]
+            names = [gcol]
+            arrays.append(pa.array(nr[start:stop], type=pa.int64()))
+            names.append(_NROWS_COL)
+            for s in specs:
+                buf, offs = bufs[s.name]
+                rel = (offs[start : stop + 1] - offs[start]).astype(np.int32)
+                chunk = buf[offs[start] : offs[stop]]
+                arrays.append(
+                    pa.Array.from_buffers(
+                        pa.binary(),
+                        stop - start,
+                        [None, pa.py_buffer(rel), pa.py_buffer(np.ascontiguousarray(chunk))],
+                    )
+                )
+                names.append(s.state_col)
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+            start = stop
 
     return fn
 
@@ -571,7 +814,21 @@ def grouped_sketch(
             pre_partial = _preagg_dedup_ratio(prepared, group_cols, 200_000) <= 0.5
         if not pre_partial:
             out_schema = _grouped_schema(prepared, group_cols, specs, with_ord=False)
-            return prepared.repartition(*group_cols).mapInPandas(
+            shuffled = prepared.repartition(*group_cols)
+            from pyspark.sql.types import DoubleType, FloatType
+
+            if len(group_cols) == 1 and not isinstance(
+                prepared.schema[group_cols[0]].dataType, (DoubleType, FloatType)
+            ):
+                # Arrow-native build: keys never convert to PyObjects and
+                # the output assembles zero-copy (see builder docstring).
+                # Float keys stay on the pandas route — Arrow factorizes
+                # NaN/-0.0 bitwise, pandas by value.
+                return shuffled.mapInArrow(
+                    _vec_direct_builder_arrow(specs, group_cols, col_map, kernel),
+                    schema=out_schema,
+                )
+            return shuffled.mapInPandas(
                 _vec_direct_builder(specs, group_cols, col_map, kernel),
                 schema=out_schema,
             )

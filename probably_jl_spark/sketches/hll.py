@@ -339,56 +339,70 @@ _PREFIX_V2 = codec.MAGIC + bytes([codec.KIND_HLL, 2, 1, 0])
 _PREFIX_V1 = codec.MAGIC + bytes([codec.KIND_HLL, 1, 1, 0])
 
 
+def packed_entries_many_to_buf(
+    p: int, entries: np.ndarray, bounds: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(uint8 buf, int64 offs): canonical wire for MANY register files
+    laid end to end — blob i is ``buf[offs[i]:offs[i+1]]``, byte-
+    identical to ``packed_entries_to_bytes(p, ...)`` per group. The
+    sparse-v2 common case is ONE flat buffer build (constant 9-byte head
+    scatter + one entry-byte scatter); groups past the sparse threshold
+    (> m/8 nonzero registers, rare for per-entity sketches) run the
+    scalar dense encoder and splice in. The Arrow-native grouped route
+    wraps (buf, offs) directly into a BinaryArray with ZERO per-group
+    Python; ``packed_entries_many_to_bytes`` slices it for pandas."""
+    bounds = np.asarray(bounds, dtype=np.int64)
+    counts = np.diff(bounds)
+    n = counts.size
+    if n == 0:
+        return np.zeros(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
+    dense_idx = np.flatnonzero(counts > ((1 << p) >> 3))
+    dense_blobs = {
+        int(i): packed_entries_to_bytes(
+            p, entries[bounds[i] : bounds[i + 1]].astype(np.uint32, copy=False)
+        )
+        for i in dense_idx.tolist()
+    }
+    lens = 9 + 4 * counts
+    for i, b in dense_blobs.items():
+        lens[i] = len(b)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    buf = np.zeros(int(offs[-1]), dtype=np.uint8)
+    sparse = np.ones(n, dtype=bool)
+    sparse[dense_idx] = False
+    sp = np.flatnonzero(sparse)
+    head = np.frombuffer(_PREFIX_V2 + _HDR.pack(p), dtype=np.uint8)
+    buf[(offs[sp][:, None] + np.arange(9)).ravel()] = np.tile(head, sp.size)
+    sc = counts[sp]
+    ent = entries if sp.size == n else entries[np.repeat(sparse, counts)]
+    ent_b = np.ascontiguousarray(ent.astype("<u4", copy=False)).view(np.uint8)
+    if ent_b.size:
+        s_bounds = np.zeros(sp.size + 1, dtype=np.int64)
+        np.cumsum(sc, out=s_bounds[1:])
+        pos = np.repeat(offs[sp] + 9, sc * 4) + (
+            np.arange(ent_b.size) - np.repeat(4 * s_bounds[:-1], sc * 4)
+        )
+        buf[pos] = ent_b
+    for i, b in dense_blobs.items():
+        buf[offs[i] : offs[i] + len(b)] = np.frombuffer(b, dtype=np.uint8)
+    return buf, offs
+
+
 def packed_entries_many_to_bytes(
     p: int, entries: np.ndarray, bounds: np.ndarray
 ) -> list:
     """Canonical wire blobs for MANY register files at once: group i's
     sorted packed uint32 entries are ``entries[bounds[i]:bounds[i+1]]``.
-    Byte-identical to ``[packed_entries_to_bytes(p, ...) per group]`` but
-    the sparse-v2 common case is ONE flat uint8 buffer build (constant
-    9-byte head scatter + one entry-byte scatter) plus C-level bytes
-    slicing — no per-group struct packing. The grouped vectorized route
-    (operators/grouped.py) emits a flushful of groups through this; the
-    scalar loop was ~5.6 us/group, this is ~0.5. Groups past the sparse
-    threshold (> m/8 nonzero registers, rare for per-entity sketches)
-    fall back to the scalar dense-v1 encoder one by one."""
-    bounds = np.asarray(bounds, dtype=np.int64)
-    counts = np.diff(bounds)
-    n = counts.size
-    if n == 0:
-        return []
-    out: list = [None] * n
-    dense = counts > ((1 << p) >> 3)
-    if dense.any():
-        for i in np.flatnonzero(dense).tolist():
-            out[i] = packed_entries_to_bytes(
-                p, entries[bounds[i] : bounds[i + 1]].astype(np.uint32, copy=False)
-            )
-        sp = np.flatnonzero(~dense)
-        ent = entries[np.repeat(~dense, counts)]
-        sc = counts[sp]
-    else:
-        sp = np.arange(n, dtype=np.int64)
-        ent = entries
-        sc = counts
-    s_bounds = np.zeros(sp.size + 1, dtype=np.int64)
-    np.cumsum(sc, out=s_bounds[1:])
-    offs = np.zeros(sp.size + 1, dtype=np.int64)
-    np.cumsum(9 + 4 * sc, out=offs[1:])
-    buf = np.zeros(int(offs[-1]), dtype=np.uint8)
-    head = np.frombuffer(_PREFIX_V2 + _HDR.pack(p), dtype=np.uint8)
-    buf[(offs[:-1, None] + np.arange(9)).ravel()] = np.tile(head, sp.size)
-    ent_b = np.ascontiguousarray(ent.astype("<u4", copy=False)).view(np.uint8)
-    if ent_b.size:
-        pos = np.repeat(offs[:-1] + 9, sc * 4) + (
-            np.arange(ent_b.size) - np.repeat(4 * s_bounds[:-1], sc * 4)
-        )
-        buf[pos] = ent_b
+    Byte-identical to ``[packed_entries_to_bytes(p, ...) per group]``;
+    one flat buffer build (``packed_entries_many_to_buf``) plus C-level
+    bytes slicing — no per-group struct packing. The grouped vectorized
+    route emits a flushful of groups through this; the scalar loop was
+    ~5.6 us/group, this is ~0.5."""
+    buf, offs = packed_entries_many_to_buf(p, entries, bounds)
     data = buf.tobytes()
     ol = offs.tolist()
-    for j, i in enumerate(sp.tolist()):
-        out[i] = data[ol[j] : ol[j + 1]]
-    return out
+    return [data[ol[i] : ol[i + 1]] for i in range(len(ol) - 1)]
 
 
 def packed_entries_many_from_bytes(blobs) -> tuple[np.ndarray, np.ndarray]:

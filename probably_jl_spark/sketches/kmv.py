@@ -70,17 +70,20 @@ def mins_from_bytes(data: bytes) -> tuple[int, np.ndarray]:
 _PREFIX = codec.MAGIC + bytes([codec.KIND_KMV, 1, 8, 0])
 
 
-def mins_many_to_bytes(k: int, mins: np.ndarray, bounds: np.ndarray) -> list:
-    """Wire blobs for MANY k-min sets at once: group i's sorted uint64
-    mins are ``mins[bounds[i]:bounds[i+1]]``. Byte-identical to
-    ``[mins_to_bytes(k, ...) per group]``; one flat buffer build + bytes
-    slicing instead of per-group struct packing (the HLL twin is
-    ``packed_entries_many_to_bytes`` — same shape, see there for why)."""
+def mins_many_to_buf(
+    k: int, mins: np.ndarray, bounds: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(uint8 buf, int64 offs): wire for MANY k-min sets laid end to end
+    — blob i is ``buf[offs[i]:offs[i+1]]``, byte-identical to
+    ``mins_to_bytes(k, ...)`` per group. The Arrow-native grouped route
+    wraps this into a BinaryArray directly; ``mins_many_to_bytes``
+    slices it for pandas (the HLL twin is
+    ``packed_entries_many_to_buf``)."""
     bounds = np.asarray(bounds, dtype=np.int64)
     counts = np.diff(bounds)
     n = counts.size
     if n == 0:
-        return []
+        return np.zeros(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
     offs = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(16 + 8 * counts, out=offs[1:])
     buf = np.zeros(int(offs[-1]), dtype=np.uint8)
@@ -94,6 +97,16 @@ def mins_many_to_bytes(k: int, mins: np.ndarray, bounds: np.ndarray) -> list:
             np.arange(mins_b.size) - np.repeat(8 * bounds[:-1], counts * 8)
         )
         buf[pos] = mins_b
+    return buf, offs
+
+
+def mins_many_to_bytes(k: int, mins: np.ndarray, bounds: np.ndarray) -> list:
+    """Wire blobs for MANY k-min sets at once: group i's sorted uint64
+    mins are ``mins[bounds[i]:bounds[i+1]]``. Byte-identical to
+    ``[mins_to_bytes(k, ...) per group]``; one flat buffer build + bytes
+    slicing instead of per-group struct packing."""
+    buf, offs = mins_many_to_buf(k, mins, bounds)
+    n = offs.size - 1
     data = buf.tobytes()
     ol = offs.tolist()
     return [data[ol[i] : ol[i + 1]] for i in range(n)]
