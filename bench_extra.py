@@ -113,7 +113,7 @@ def t_grouped_conv(spark, plans=False):
         _transfer_probe(shuffled).count()
     out = grouped_sketch(tr, ["conv_id"], specs)
     if plans:
-        write_plan(out, "grouped_hll_by_conv_cur.txt")
+        write_plan(out, "grouped_hll_by_conv_after.txt")
     with timed("grouped_hll_by_conv.count", spark):
         n = out.count()
     print(f"    groups={n}", file=sys.stderr)
@@ -135,7 +135,7 @@ def t_grouped_role(spark, plans=False):
         salt_cols=["conv_id"],
     )
     if plans:
-        write_plan(out, "grouped_salted_by_role_cur.txt")
+        write_plan(out, "grouped_salted_by_role_after.txt")
     with timed("grouped_salted_by_role.collect", spark):
         out.collect()
 
@@ -147,7 +147,7 @@ def t_rollup(spark, plans=False):
     states.count()
     out = rollup_states(states, [])
     if plans:
-        write_plan(out, "rollup_conv_states_cur.txt")
+        write_plan(out, "rollup_conv_states_after.txt")
     for i in range(2):
         with timed(f"rollup.collect.{i}", spark):
             out.collect()
@@ -169,7 +169,7 @@ def t_simhash(spark, plans=False):
         noop(tok)
     out = simhash(docs)
     if plans:
-        write_plan(out, "simhash_docs_cur.txt")
+        write_plan(out, "simhash_docs_after.txt")
     with timed("simhash.full_count", spark):
         out.count()
     with timed("simhash.full_count_2", spark):
@@ -198,7 +198,7 @@ def t_clean(spark, plans=False):
         noop(kept)
     out = clean_corpus(docs, min_tokens=3, min_quality_milli=200)
     if plans:
-        write_plan(out, "clean_corpus_docs_cur.txt")
+        write_plan(out, "clean_corpus_docs_after.txt")
     with timed("clean.full_count", spark):
         n = out.count()
     print(f"    kept={n}", file=sys.stderr)
@@ -211,7 +211,7 @@ def t_clean_map(spark, plans=False):
     docs.count()
     out = clean_corpus(docs, min_tokens=3, min_quality_milli=200, dedup="map")
     if plans:
-        write_plan(out, "clean_corpus_map_docs_cur.txt")
+        write_plan(out, "clean_corpus_map_docs_after.txt")
     with timed("clean_map.full_count", spark):
         n = out.count()
     print(f"    kept={n}", file=sys.stderr)
@@ -253,7 +253,7 @@ def t_cosine(spark, plans=False):
         n = out.count()
     print(f"    pairs={n}", file=sys.stderr)
     if plans:
-        write_plan(out, "cosine_near_dup_cur.txt")
+        write_plan(out, "cosine_near_dup_after.txt")
     emb.unpersist()
 
 
@@ -265,7 +265,7 @@ def t_ivf(spark, plans=False):
     ivf_q = emb.filter("vec_id < 32")
     out = ann_topk_ivf(emb, ivf_q, dim=64, k=10, n_centroids=64, nprobe=8)
     if plans:
-        write_plan(out, "ann_ivf_cur.txt")
+        write_plan(out, "ann_ivf_after.txt")
     with timed("ann_ivf_topk_32q", spark):
         n = out.count()
     with timed("ann_ivf_topk_32q_2", spark):
@@ -306,7 +306,7 @@ def t_fused(spark, plans=False):
         noop(build_partials(tr, specs, lineage=False))
     if plans:
         partials = build_partials(tr, specs, lineage=False)
-        write_plan(partials, "fused_transcripts_partials_cur.txt")
+        write_plan(partials, "fused_transcripts_partials_after.txt")
     for i in range(2):
         with timed(f"fused_transcripts.{i}", spark):
             r = sketch_table(tr, specs)

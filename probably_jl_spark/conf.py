@@ -54,11 +54,16 @@ def sketch_build_conf(scale: str = "cluster", cores: int = 32) -> dict[str, str]
     if scale == "local":
         return common | {
             "spark.sql.shuffle.partitions": str(cores),
-            # ~1-2 tasks/core at local[32] over the bench table; smaller
-            # splits measurably raise per-task overhead (7.0s -> 5.7s at
-            # local[8] going 16m -> 64m on 19M turns); 32m balances that
-            # against task granularity for narrow parallelism
-            "spark.sql.files.maxPartitionBytes": "32m",
+            # 128m splits, same as the cluster profile (guide §6: large
+            # sequential scans want 512m-1g-ish splits; fewer map tasks
+            # also feed any shuffle fewer blocks, §2.2). Re-measured r6
+            # after the Arrow per-row-check fix shifted the balance from
+            # per-row to per-task costs: the 77M-turn fused build went
+            # 9.7s -> 5.4s at local[8], 5.8s -> 3.4s at local[32],
+            # 35.3s -> 17.9s at local[2] moving 32m -> 128m (68 vs 272
+            # tasks); 256m measured slower again at narrow parallelism
+            # (6.2s at local[8] — too few waves to balance).
+            "spark.sql.files.maxPartitionBytes": "128m",
             "spark.driver.memory": "16g",
         }
     # cluster: sized for ~1000 executors x 4 cores over ~100 TB parquet
