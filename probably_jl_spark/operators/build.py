@@ -178,14 +178,62 @@ def build_partials(df: DataFrame, specs: list[SketchSpec], lineage: bool = True)
     )
 
 
+# driver-side merge gate: collect partials directly when the fan-in and
+# the (upper-bounded) state bytes are small — the treeReduce level costs
+# one extra scheduling wave, which is pure serial time per job (r6: the
+# fused build's fixed cost is ~2.3s of a 6.6s 8-executor leg; dropping
+# the wave helps both legs AND the measured scaling ratio).
+_DRIVER_MERGE_MAX_PARTIALS = 256
+_DRIVER_MERGE_MAX_BYTES = 64 << 20
+
+
+def _est_partial_bytes(specs: list[SketchSpec]) -> int:
+    """Upper-ish bound on one partial row's serialized state bytes: the
+    empty sketch's wire (full-table kinds — bloom/cms/cuckoo — serialize
+    their whole array when empty) plus 64KB slack per spec for kinds
+    whose wire grows with content (sparse HLL <= 16KB dense at p14,
+    t-digest/KLL/MG buffers)."""
+    return sum(len(s.new().to_bytes()) + (64 << 10) for s in specs)
+
+
 def tree_merge(partials: DataFrame, specs: list[SketchSpec], depth: int | None = None) -> dict:
     """treeReduce-style merge of partial states (the reference's own
     parallelization story, docs/src/hyperloglog.md:16): partial rows are
     combined executor-side in a tree, so the driver receives one row no
-    matter how many partitions were scanned."""
+    matter how many partitions were scanned.
+
+    Small fan-ins (<= 256 partials whose states bound under 64MB) skip
+    the tree and fold on the driver instead: ``collect()`` preserves
+    partition order, so the left fold merges in ascending partition id —
+    deterministic for the merge-order-sensitive kinds (t-digest/KLL/MG),
+    exactly like the grouped route's ordered merges. Order-insensitive
+    kinds (HLL/CMS/Bloom/KMV) are byte-identical either way
+    (test_distributed_equals_local)."""
     state_cols = [s.state_col for s in specs]
-    rdd = partials.select(*state_cols, "n_rows").rdd
+    sel = partials.select(*state_cols, "n_rows")
+    rdd = sel.rdd
     nparts = max(1, rdd.getNumPartitions())
+
+    def merge_rows(a, b):
+        merged = [merge_blobs(x, y) for x, y in zip(a[:-1], b[:-1])]
+        return (*merged, a[-1] + b[-1])
+
+    if (
+        depth is None
+        and nparts <= _DRIVER_MERGE_MAX_PARTIALS
+        and nparts * _est_partial_bytes(specs) <= _DRIVER_MERGE_MAX_BYTES
+    ):
+        rows = [tuple(r) for r in sel.collect()]
+        if not rows:
+            row = tuple([None] * len(state_cols) + [0])
+        else:
+            row = rows[0]
+            for nxt in rows[1:]:
+                row = merge_rows(row, nxt)
+        out = {s.name: sketch_from_bytes(row[i]) for i, s in enumerate(specs)}
+        out["__n_rows"] = row[-1]
+        return out
+
     # NB: do NOT coalesce() here — a non-shuffle coalesce propagates into
     # the mapInPandas stage and would serialize the build itself; the tree
     # adds only ~sqrt(nparts) reduce tasks on top of the scan tasks.
@@ -194,10 +242,6 @@ def tree_merge(partials: DataFrame, specs: list[SketchSpec], depth: int | None =
         # 2 handles thousands of ≤MB state rows; go deeper only at real
         # cluster fan-in (100k+ partials)
         depth = 2 if nparts <= 2048 else max(3, int(math.ceil(math.log(nparts, 32))))
-
-    def merge_rows(a, b):
-        merged = [merge_blobs(x, y) for x, y in zip(a[:-1], b[:-1])]
-        return (*merged, a[-1] + b[-1])
 
     row = rdd.map(tuple).treeReduce(merge_rows, depth=depth)
     out = {s.name: sketch_from_bytes(row[i]) for i, s in enumerate(specs)}
