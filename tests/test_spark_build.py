@@ -784,3 +784,81 @@ def test_grouped_direct_route_byte_identical(spark, events):
     ev = events.select("event_type", "user_id", "event_id")
     assert _preagg_dedup_ratio(ev, ["event_type"], 200_000) <= 0.5
     assert _preagg_dedup_ratio(ev, ["event_id"], 200_000) > 0.5
+
+
+def test_grouped_arrow_route_null_and_float_keys(spark, events):
+    """r6 Arrow-native direct builder edges: a NULL group key forms its
+    own group with states identical to the pandas/partial route (the
+    Arrow route buckets nulls and emits them last — only row ORDER may
+    differ, which sorting normalizes), and float group keys must take
+    the pandas route (Arrow would factorize NaN/-0.0 bitwise)."""
+    from probably_jl_spark.operators.grouped import grouped_sketch
+
+    ev = events.withColumn(
+        "etype_n", F.when(F.col("event_type") == "click", None).otherwise(F.col("event_type"))
+    )
+    specs = [SketchSpec("u", "hll", key_cols=("user_id",))]
+    a = (
+        grouped_sketch(ev.repartition(5), ["etype_n"], specs, pre_partial=True)
+        .toPandas().sort_values("etype_n", na_position="last").reset_index(drop=True)
+    )
+    b = (
+        grouped_sketch(ev.repartition(3), ["etype_n"], specs, pre_partial=False)
+        .toPandas().sort_values("etype_n", na_position="last").reset_index(drop=True)
+    )
+    assert a["etype_n"].isna().sum() == 1 and b["etype_n"].isna().sum() == 1
+    assert (a["n_rows"] == b["n_rows"]).all()
+    assert all(x == y for x, y in zip(a["state_u"], b["state_u"]))
+
+    # float key with NaN: both routes must land the NaNs in ONE group
+    evf = events.withColumn(
+        "fkey", F.when(F.col("event_type") == "click", float("nan")).otherwise(F.lit(1.0))
+    )
+    fa = (
+        grouped_sketch(evf.repartition(4), ["fkey"], specs, pre_partial=False)
+        .toPandas().sort_values("fkey", na_position="last").reset_index(drop=True)
+    )
+    fb = (
+        grouped_sketch(evf.repartition(2), ["fkey"], specs, pre_partial=True)
+        .toPandas().sort_values("fkey", na_position="last").reset_index(drop=True)
+    )
+    assert len(fa) == len(fb) == 2
+    assert (fa["n_rows"] == fb["n_rows"]).all()
+    assert all(x == y for x, y in zip(fa["state_u"], fb["state_u"]))
+
+
+def test_tree_merge_driver_fold_equals_tree(spark, events):
+    """r6 small-fan-in driver fold: tree_merge's collect+left-fold path
+    (depth=None, light states) must agree with the forced treeReduce
+    path — byte-identical for the order-insensitive kinds, and the
+    order-sensitive kinds must be deterministic across repeated driver
+    folds (collect preserves partition order)."""
+    light = [
+        SketchSpec("u", "hll", key_cols=("user_id",)),
+        SketchSpec("k", "kmv", key_cols=("user_id",), params={"k": 64}),
+        SketchSpec("td", "tdigest", value_col="value"),
+    ]
+    partials = build_partials(events.repartition(6), light, lineage=False)
+    driver1 = tree_merge(partials, light)          # small fan-in => driver fold
+    driver2 = tree_merge(partials, light)
+    tree = tree_merge(partials, light, depth=2)    # forced treeReduce
+    assert driver1["__n_rows"] == tree["__n_rows"]
+    for name in ("u", "k"):  # pure set functions: identical across shapes
+        assert driver1[name].to_bytes() == tree[name].to_bytes()
+    # order-sensitive kind: deterministic across driver folds
+    assert driver1["td"].to_bytes() == driver2["td"].to_bytes()
+
+
+def test_tree_merge_heavy_states_keep_tree():
+    """The driver-fold byte gate: a bloom-heavy spec set must exceed the
+    64MB bound at wide fan-in (collecting those partials would cost what
+    the saved scheduling wave buys)."""
+    from probably_jl_spark.operators.build import (
+        _DRIVER_MERGE_MAX_BYTES,
+        _est_partial_bytes,
+    )
+
+    heavy = [SketchSpec("m", "bloom", key_cols=("u",), params={"m": 1 << 22, "k": 5})]
+    assert 256 * _est_partial_bytes(heavy) > _DRIVER_MERGE_MAX_BYTES
+    light = [SketchSpec("u", "hll", key_cols=("u",))]
+    assert 256 * _est_partial_bytes(light) <= _DRIVER_MERGE_MAX_BYTES
