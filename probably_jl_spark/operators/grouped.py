@@ -409,19 +409,60 @@ def _vec_merge_builder(specs: list[SketchSpec], group_cols: list[str], kernel):
         keys_index = None
         n_rows = np.empty(0, dtype=np.int64)
         accs = {s.name: kernel.init_acc() for s in specs}
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            g, keys_index = _group_codes(pdf, group_cols, keys_index)
+        pend_uniq: list = []
+        pend: list = []  # (codes, n_rows int64 array, {spec: blob sequence})
+        pend_n = 0
+
+        def consolidate():
+            nonlocal keys_index, n_rows, pend_uniq, pend, pend_n
+            if not pend_uniq:
+                return
+            parts = ([] if keys_index is None else [keys_index]) + pend_uniq
+            combined = parts[0].append(parts[1:]) if len(parts) > 1 else parts[0]
+            codes, keys_index = combined.factorize(use_na_sentinel=False)
+            codes = np.asarray(codes, dtype=np.int64)
+            offs = np.zeros(len(parts) + 1, dtype=np.int64)
+            np.cumsum([len(u) for u in parts], out=offs[1:])
+            base = 0 if len(parts) > len(pend_uniq) else -1  # skip keys_index slot
             if len(keys_index) > n_rows.size:
                 n_rows = np.concatenate(
                     [n_rows, np.zeros(len(keys_index) - n_rows.size, dtype=np.int64)]
                 )
-            # np.add.at keeps the row counts exact int64 (bincount weights
-            # would round past 2^53 — a stated design case for hot keys)
-            np.add.at(n_rows, g, pdf[_NROWS_COL].to_numpy(dtype=np.int64))
-            for s in specs:
-                accs[s.name] = kernel.absorb_states(accs[s.name], s, g, pdf[s.state_col])
+            for i, (bl, nr, blobs) in enumerate(pend):
+                g = codes[offs[base + i + 1] : offs[base + i + 2]][bl]
+                # np.add.at keeps the row counts exact int64 (bincount
+                # weights would round past 2^53 — a stated design case
+                # for hot keys)
+                np.add.at(n_rows, g, nr)
+                for s in specs:
+                    accs[s.name] = kernel.absorb_states(accs[s.name], s, g, blobs[s.name])
+            pend_uniq, pend, pend_n = [], [], 0
+
+        # same deferred-consolidation shape as _vec_direct_builder (one
+        # factorize per ~_FOLD_ROWS state rows instead of an Index
+        # rebuild per batch); state-blob references pin at most a
+        # _FOLD_ROWS-row window of input batches.
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if len(group_cols) == 1:
+                bl_codes, bl_uniques = pdf[group_cols[0]].factorize(use_na_sentinel=False)
+                bl_uniques = pd.Index(bl_uniques)
+            else:
+                mi = pd.MultiIndex.from_frame(pdf[list(group_cols)])
+                bl_codes, bl_uniques = mi.factorize(use_na_sentinel=False)
+            pend_uniq.append(bl_uniques)
+            pend.append(
+                (
+                    np.asarray(bl_codes, dtype=np.int64),
+                    pdf[_NROWS_COL].to_numpy(dtype=np.int64),
+                    {s.name: pdf[s.state_col] for s in specs},
+                )
+            )
+            pend_n += len(pdf)
+            if pend_n >= _FOLD_ROWS:
+                consolidate()
+        consolidate()
         if keys_index is not None and len(keys_index):
             yield _emit_state_rows(specs, group_cols, kernel, keys_index, n_rows, accs, None)
 
